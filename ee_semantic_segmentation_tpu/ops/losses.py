@@ -1,0 +1,232 @@
+"""Single-exit segmentation losses, TPU-native (channels-last).
+
+Functional re-design of /root/reference/new_seg_losses.py with matching
+numerics:
+
+* the ``SegLoss`` reduction contract ('mean' | 'sum' | 'mean_batchwise' |
+  'sum_batchwise' | None, new_seg_losses.py:17-32),
+* the void-index handling: the reference one-hots targets with
+  ``max(n_targets+1, C)`` classes and crops the extra void columns
+  (new_seg_losses.py:43-49).  A pixel labelled >= C therefore contributes an
+  all-zero target row.  Here that is a static mask (``targets < C``) instead
+  of a data-dependent crop, which is equivalent for any input and compiles
+  with fixed shapes,
+* ``JaccardLoss.downgrad_bg`` scaling of the class-0 loss
+  (new_seg_losses.py:83-86),
+* the FocalTversky exponent ``loss**(1/gamma)`` (new_seg_losses.py:121 —
+  note: the *multi-exit* file uses ``loss**gamma``; both are preserved in
+  their respective modules),
+* FocalLoss's (quirky) use of the scalar mean NLL scaled by the pixelwise
+  ``(1-pt)**gamma`` map (new_seg_losses.py:130-144).
+
+All classes are lightweight callables holding static config; the math lives
+in jit-friendly pure functions.  Inputs: logits ``(N, H, W, C)``, integer
+targets ``(N, H, W)`` (an extra trailing singleton channel axis à la torch's
+``(N, 1, H, W)`` is squeezed).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ee_semantic_segmentation_tpu.ops.lovasz import lovasz_softmax
+
+
+def _squeeze_target(targets: jnp.ndarray) -> jnp.ndarray:
+    """Accept (N,H,W), (N,H,W,1) or (N,1,H,W)-style targets, return (N,H,W)."""
+    if targets.ndim == 4:
+        if targets.shape[-1] == 1:
+            targets = targets[..., 0]
+        elif targets.shape[1] == 1:
+            targets = targets[:, 0]
+    return targets.astype(jnp.int32)
+
+
+def one_hot_with_void(targets: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """One-hot (..., C) where labels >= num_classes produce an all-zero row.
+
+    Equivalent to the reference's one-hot-then-crop-void idiom
+    (new_seg_losses.py:43-49) for every input, with static shapes.
+    """
+    return jax.nn.one_hot(targets, num_classes, dtype=jnp.float32) * (
+        targets < num_classes
+    )[..., None].astype(jnp.float32)
+
+
+def apply_reduction(loss: jnp.ndarray, reduction: str | None) -> jnp.ndarray:
+    """SegLoss.forward reduction contract (new_seg_losses.py:17-32)."""
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    if reduction == "mean_batchwise":
+        return jnp.mean(loss, axis=tuple(range(1, loss.ndim)))
+    if reduction == "sum_batchwise":
+        return jnp.sum(loss, axis=tuple(range(1, loss.ndim)))
+    return loss
+
+
+class SegLoss:
+    """Base: subclasses implement `_compute_loss(logits, targets)`."""
+
+    def __init__(self, smooth: float = 1e-6, reduction: str | None = "mean"):
+        self.smooth = smooth
+        self.reduction = reduction
+
+    def _compute_loss(self, y_pred, targets):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __call__(self, y_pred, targets):
+        return apply_reduction(self._compute_loss(y_pred, _squeeze_target(targets)), self.reduction)
+
+
+def dice_components(logits, targets):
+    """Per-sample soft-Dice numerator/denominator (new_seg_losses.py:39-52)."""
+    C = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    tgt = one_hot_with_void(targets, C)
+    # Sum over all pixels and classes per sample.
+    axes = tuple(range(1, logits.ndim))
+    num = 2.0 * jnp.sum(probs * tgt, axis=axes)
+    den = jnp.sum(probs + tgt, axis=axes)
+    return num, den
+
+
+class DiceLoss(SegLoss):
+    def __init__(self, smooth=1e-6, reduction="mean", index=False):
+        super().__init__(smooth, reduction)
+        self.index = index
+
+    def _compute_loss(self, y_pred, targets):
+        num, den = dice_components(y_pred, targets)
+        ratio = (num + self.smooth) / (den + self.smooth)
+        return ratio if self.index else 1.0 - ratio
+
+
+def soft_iou(logits, targets, smooth):
+    """Per-(sample, class) soft IoU (new_seg_losses.py:75-78)."""
+    C = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    tgt = one_hot_with_void(targets, C)
+    axes = tuple(range(1, logits.ndim - 1))  # pixel axes, keep (N, C)
+    intersection = jnp.sum(probs * tgt, axis=axes)
+    total = jnp.sum(probs + tgt, axis=axes)
+    union = total - intersection
+    return (intersection + smooth) / (union + smooth)
+
+
+class JaccardLoss(DiceLoss):
+    def __init__(self, smooth=1e-6, reduction="mean", index=False, downgrad_bg=1.0):
+        super().__init__(smooth, reduction, index)
+        self.downgrad_bg = downgrad_bg if 0 <= downgrad_bg <= 1.0 else 1.0
+
+    def _compute_loss(self, y_pred, targets):
+        iou = soft_iou(y_pred, targets, self.smooth)  # (N, C)
+        if self.index:
+            return iou
+        if self.downgrad_bg:  # default path: scale class-0 loss (no-op at 1.0)
+            loss = 1.0 - iou
+            return loss.at[:, 0].multiply(self.downgrad_bg)
+        return jnp.sum(1.0 - iou, axis=-1)
+
+
+def tversky_index(logits, targets, alpha, beta, smooth, hard: bool = False):
+    """Per-(sample, class) Tversky index.
+
+    ``hard=False`` matches the single-exit file (soft probabilities,
+    new_seg_losses.py:96-108); ``hard=True`` matches the multi-exit variant
+    which argmaxes the prediction first (branchy_seg_losses.py:85-97).
+    Targets are one-hot with exactly C classes — the reference would fault on
+    void labels here, so callers must pass void-free targets.
+    """
+    C = logits.shape[-1]
+    if hard:
+        probs = jax.nn.one_hot(jnp.argmax(logits, axis=-1), C, dtype=jnp.float32)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+    tgt = jax.nn.one_hot(targets, C, dtype=jnp.float32)
+    axes = tuple(range(1, logits.ndim - 1))
+    tp = jnp.sum(probs * tgt, axis=axes)
+    fp = jnp.sum(probs * (1.0 - tgt), axis=axes)
+    fn = jnp.sum((1.0 - probs) * tgt, axis=axes)
+    return (tp + smooth) / (tp + alpha * fp + beta * fn + smooth)
+
+
+class TverskyLoss(SegLoss):
+    def __init__(self, smooth=1e-6, alpha=0.5, beta=0.5, reduction="mean"):
+        super().__init__(smooth, reduction)
+        self.alpha = alpha
+        self.beta = beta
+
+    def _forward_imp(self, y_pred, targets):
+        return 1.0 - tversky_index(y_pred, targets, self.alpha, self.beta, self.smooth)
+
+    def _compute_loss(self, y_pred, targets):
+        return self._forward_imp(y_pred, targets)
+
+
+class FocalTverskyLoss(TverskyLoss):
+    def __init__(self, smooth=1e-6, alpha=0.5, beta=0.5, gamma=1.0, reduction="mean"):
+        super().__init__(smooth, alpha, beta, reduction)
+        self.gamma = gamma
+
+    def _compute_loss(self, y_pred, targets):
+        # Single-exit exponent is 1/gamma (new_seg_losses.py:121).
+        return self._forward_imp(y_pred, targets) ** (1.0 / self.gamma)
+
+
+class FocalLoss(SegLoss):
+    """Single-exit focal loss, reproducing new_seg_losses.py:130-144 exactly:
+    the CE factor is the *scalar mean* NLL over all pixels, broadcast against
+    the pixelwise ``(1-pt)**gamma`` modulation."""
+
+    def __init__(self, alpha=None, gamma=2.0, smooth=1e-6, reduction="mean"):
+        super().__init__(smooth, reduction)
+        self.alpha = None if alpha is None else jnp.asarray(alpha)
+        self.gamma = gamma
+
+    def _compute_loss(self, y_pred, targets):
+        log_probs = jax.nn.log_softmax(y_pred, axis=-1)
+        pt_log = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+        ce_scalar = -jnp.mean(pt_log)
+        pt = jnp.exp(pt_log)
+        loss = ((1.0 - pt) ** self.gamma) * ce_scalar
+        if self.alpha is not None:
+            loss = loss * self.alpha[targets]
+        return loss
+
+
+class HybridFocalLoss(SegLoss):
+    """Focal + Focal-Tversky (new_seg_losses.py:146-157)."""
+
+    def __init__(self, smooth=1e-6, reduction="mean", focal_loss=None, ftversky_loss=None):
+        super().__init__(smooth, reduction)
+        self.fl = focal_loss or FocalLoss(reduction="mean_batchwise")
+        self.ftl = ftversky_loss or FocalTverskyLoss(
+            alpha=0.7, beta=0.3, gamma=4.0 / 3.0, reduction="mean_batchwise"
+        )
+
+    def _compute_loss(self, y_pred, targets):
+        return self.fl(y_pred, targets) + self.ftl(y_pred, targets)
+
+
+class LovaszSoftmax:
+    """Single-exit Lovász wrapper (new_seg_losses.py:159-168).
+
+    Like the reference, applies no softmax — feed it whatever the model
+    produces (the reference trains directly on logits)."""
+
+    def __init__(self, classes="present", per_image=False, ignore=None):
+        self.classes = classes
+        self.per_image = per_image
+        self.ignore = ignore
+
+    def __call__(self, y_pred, targets):
+        return lovasz_softmax(
+            y_pred,
+            _squeeze_target(targets),
+            classes=self.classes,
+            per_image=self.per_image,
+            ignore=self.ignore,
+        )

@@ -1,0 +1,180 @@
+"""Golden-parity tests: JAX losses vs the reference torch implementation.
+
+Inputs come from tests/fixtures.py (NCHW, reference layout) and are
+transposed to our channels-last layout; expected values come from
+tests/golden/reference_values.json (generated once by tools/gen_golden.py).
+"""
+
+import numpy as np
+import pytest
+
+import fixtures as FX
+
+from ee_semantic_segmentation_tpu.ops import losses as L
+from ee_semantic_segmentation_tpu.ops import branchy as B
+from ee_semantic_segmentation_tpu.ops import xentropy as X
+from ee_semantic_segmentation_tpu.ops.lovasz import lovasz_softmax
+
+RTOL = 1e-5
+ATOL = 1e-5
+
+
+def hand_nhwc():
+    pred = FX.nchw_to_nhwc(FX.HAND_PRED)  # (2, 4, 6, 4)
+    true = FX.HAND_TRUE[:, 0]  # (2, 4, 6)
+    return pred, true
+
+
+def assert_close(actual, expected, rtol=RTOL, atol=ATOL):
+    np.testing.assert_allclose(np.asarray(actual), expected, rtol=rtol, atol=atol)
+
+
+# ---------------------------------------------------------------- hand scene
+@pytest.mark.parametrize(
+    "key,make",
+    [
+        ("hand/jaccard_mean", lambda: L.JaccardLoss()),
+        ("hand/jaccard_sum", lambda: L.JaccardLoss(reduction="sum")),
+        ("hand/jaccard_index_mean", lambda: L.JaccardLoss(index=True)),
+        ("hand/dice_mean", lambda: L.DiceLoss()),
+        ("hand/dice_index_mean", lambda: L.DiceLoss(index=True)),
+        ("hand/tversky_mean", lambda: L.TverskyLoss()),
+        ("hand/ftversky_mean", lambda: L.FocalTverskyLoss(gamma=4 / 3)),
+        ("hand/focal_mean", lambda: L.FocalLoss()),
+    ],
+)
+def test_hand_losses(golden, key, make):
+    pred, true = hand_nhwc()
+    assert_close(make()(pred, true), golden[key])
+
+
+def test_hand_lovasz(golden):
+    pred, true = hand_nhwc()
+    assert_close(lovasz_softmax(pred, true, classes="present"), golden["hand/lovasz_present"], rtol=1e-4)
+    assert_close(lovasz_softmax(pred, true, classes="all"), golden["hand/lovasz_all"], rtol=1e-4)
+    assert_close(
+        lovasz_softmax(pred, true, classes="present", per_image=True),
+        golden["hand/lovasz_per_image"],
+        rtol=1e-4,
+    )
+
+
+# ------------------------------------------------------- random void fixture
+def rand_nhwc():
+    logits, labels = FX.random_logits(seed=0)
+    return FX.nchw_to_nhwc(logits), labels
+
+
+def test_rand_lovasz_ignore(golden):
+    pred, true = rand_nhwc()
+    assert_close(
+        lovasz_softmax(pred, true, classes="present", ignore=21),
+        golden["rand/lovasz_present_ignore"], rtol=1e-4,
+    )
+    assert_close(
+        lovasz_softmax(pred, true, classes="all", ignore=21),
+        golden["rand/lovasz_all_ignore"], rtol=1e-4,
+    )
+    assert_close(
+        lovasz_softmax(pred, true, classes="present", per_image=True, ignore=21),
+        golden["rand/lovasz_present_per_image_ignore"], rtol=1e-4,
+    )
+
+
+def test_rand_lovasz_absent_classes(golden):
+    logits, labels = FX.random_logits_absent()
+    pred = FX.nchw_to_nhwc(logits)
+    assert_close(
+        lovasz_softmax(pred, labels, classes="present", ignore=6),
+        golden["absent/lovasz_present_ignore"], rtol=1e-4,
+    )
+    assert_close(
+        lovasz_softmax(pred, labels, classes="all", ignore=6),
+        golden["absent/lovasz_all_ignore"], rtol=1e-4,
+    )
+    assert_close(
+        lovasz_softmax(pred, labels, classes=(0, 1, 2), ignore=6),
+        golden["absent/lovasz_list"], rtol=1e-4,
+    )
+
+
+def test_rand_cross_entropy(golden):
+    pred, true = rand_nhwc()
+    assert_close(X.cross_entropy(pred, true, ignore_index=21), golden["rand/ce_ignore_mean"])
+    assert_close(
+        X.cross_entropy(pred, true, ignore_index=21, reduction="sum"),
+        golden["rand/ce_ignore_sum"], rtol=1e-4,
+    )
+
+
+def test_rand_region_losses(golden):
+    pred, true = rand_nhwc()
+    assert_close(L.JaccardLoss()(pred, true), golden["rand/jaccard_mean"])
+    assert_close(L.DiceLoss()(pred, true), golden["rand/dice_mean"])
+
+
+# ----------------------------------------------------------- multi-exit
+def test_branchy_lovasz(golden):
+    logits, labels = FX.random_logits(seed=3, exits=4, n=2, c=21, h=8, w=9)
+    pred = FX.nchw_to_nhwc(logits)
+    bl = B.LovaszSoftmax(classes="present", ignore=21, n_branches=3)
+    assert_close(bl(pred, labels), golden["exit/br_lovasz_sum"], rtol=1e-4)
+    bl2 = B.LovaszSoftmax(classes="present", ignore=21, n_branches=3, prev_out=True)
+    assert_close(bl2(pred, labels), golden["exit/br_lovasz_prev_out"], rtol=1e-4)
+
+
+def test_branchy_xent(golden):
+    logits, labels = FX.random_logits(seed=3, exits=4, n=2, c=21, h=8, w=9)
+    pred = FX.nchw_to_nhwc(logits)
+    bx = X.BrXEntropyLoss(ignore_index=21, b_reduction="sum", n_exits=4)
+    assert_close(bx(pred, labels), golden["exit/br_xent_sum"], rtol=1e-4)
+    bx2 = X.BrXEntropyLoss(
+        ignore_index=21, b_reduction="mean", n_exits=4, weights=[0.25, 0.5, 0.75, 1.0]
+    )
+    assert_close(bx2(pred, labels), golden["exit/br_xent_weighted_mean"], rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "key,make",
+    [
+        ("exit/br_dice", lambda: B.DiceLoss(n_branches=2)),
+        ("exit/br_jaccard", lambda: B.JaccardLoss(n_branches=2)),
+        ("exit/br_tversky", lambda: B.TverskyLoss(alpha=0.7, beta=0.3, n_branches=2)),
+        ("exit/br_ftversky", lambda: B.FocalTverskyLoss(alpha=0.7, beta=0.3, gamma=4 / 3, n_branches=2)),
+        ("exit/br_focal", lambda: B.FocalLoss(n_branches=2)),
+    ],
+)
+def test_branchy_region_losses(golden, key, make):
+    logits, labels = FX.random_logits_novoid(seed=4, exits=3, n=2, c=5, h=6, w=7)
+    pred = FX.nchw_to_nhwc(logits)
+    assert_close(make()(pred, labels), golden[key], rtol=1e-4)
+
+
+def test_update_n_changes_exit_count():
+    logits, labels = FX.random_logits_novoid(seed=4, exits=3, n=2, c=5, h=6, w=7)
+    pred = FX.nchw_to_nhwc(logits)
+    loss = B.DiceLoss(n_branches=2)
+    three = loss(pred, labels)
+    loss.update_n(1)
+    two = loss(pred, labels)
+    assert float(two) < float(three)  # fewer exits -> smaller summed-weight loss
+
+
+def test_lovasz_grad_matches_reference_semantics():
+    """lovasz_grad on an unmasked vector must equal the reference formula."""
+    from ee_semantic_segmentation_tpu.ops.lovasz import lovasz_grad
+
+    gt = np.array([1.0, 0.0, 1.0, 1.0, 0.0], np.float32)
+    g = np.asarray(lovasz_grad(gt))
+    gts = gt.sum()
+    inter = gts - np.cumsum(gt)
+    union = gts + np.cumsum(1 - gt)
+    jac = 1.0 - inter / union
+    expected = np.concatenate([[jac[0]], np.diff(jac)])
+    np.testing.assert_allclose(g, expected, rtol=1e-6)
+
+
+def test_lovasz_all_void_is_zero():
+    pred = np.random.RandomState(0).randn(1, 4, 4, 3).astype(np.float32)
+    labels = np.full((1, 4, 4), 3, np.int64)  # every pixel void
+    assert float(lovasz_softmax(pred, labels, classes="present", ignore=3)) == 0.0
