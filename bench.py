@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Throughput benchmark: 512x512 images/sec on one chip.
+
+Runs the flagship 2-exit branchy DeepLabV3-ResNet50 (bfloat16 compute) eval
+forward — all exits computed, the serving-side workload of the reference's
+evaluators — on the default device (real TPU under the driver), and prints
+ONE JSON line:
+
+    {"metric": "512px_images_per_sec_per_chip", "value": N,
+     "unit": "images/sec", "vs_baseline": N / 250.0}
+
+Baseline: the driver's north star is >= 2000 images/sec on a v5e-8
+(BASELINE.json:5) => 250 images/sec/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import build_branchy_deeplabv3
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    img = 512 if on_tpu else 64  # CPU fallback keeps the script testable
+    batch = 16 if on_tpu else 2
+    iters = 20 if on_tpu else 2
+
+    model = build_branchy_deeplabv3(
+        depth=50, n=2, img_dim=img, count_branches=False, dtype=jnp.bfloat16
+    )
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((batch, img, img, 3), jnp.float32)
+    variables = model.init(rng, x0, train=False)
+
+    @jax.jit
+    def forward(params, batch_stats, images):
+        return model.apply({"params": params, "batch_stats": batch_stats}, images, train=False)
+
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    images = jnp.asarray(np.random.RandomState(0).rand(batch, img, img, 3), jnp.float32)
+
+    # warmup + compile
+    forward(params, stats, images).block_until_ready()
+    forward(params, stats, images).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(params, stats, images)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{img}px_images_per_sec_per_chip",
+                "value": round(ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / 250.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Shared CLI plumbing: checkpoint loading, dataset resolution, CSV append.
+
+The reference's eval CLIs all follow the same skeleton (load whole-module
+pickle, build the test loader, loop models, append a CSV row keyed by
+net_id — e.g. /root/reference/eval_mIoU.py:42-108).  Here a "model" is a
+checkpoint path whose ``<path>.json`` sidecar holds the BranchyConfig.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ee_semantic_segmentation_tpu.models.branchy_deepv3 import BranchyDeepLabV3
+from ee_semantic_segmentation_tpu.parallel import create_train_state, make_eval_step, make_mesh
+from ee_semantic_segmentation_tpu.train import checkpoint as ckpt
+from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+
+def load_model(path: str, dtype=jnp.float32):
+    """Checkpoint path -> (model, state).  Requires the .json spec sidecar."""
+    cfg = ckpt.load_config(path)
+    if cfg is None:
+        raise FileNotFoundError(
+            f"no model spec at {path}.json — checkpoints are saved by the "
+            "training CLIs with a JSON config sidecar"
+        )
+    model = BranchyDeepLabV3(config=cfg, dtype=dtype)
+    tx = sgd_momentum()
+    sample = jnp.zeros((1, cfg.img_dim, cfg.img_dim, 3), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
+    state, _ = ckpt.load_checkpoint(path, state)
+    return model, state
+
+
+def forward_fn(model, state):
+    """Jitted eval forward: images (N,H,W,C) -> (E,N,H,W,C)."""
+    fwd = make_eval_step(model)
+
+    def f(images):
+        return fwd(state.params, state.batch_stats, jnp.asarray(images))
+
+    return f
+
+
+def resolve_test_set(dataset: str, input_dim, data_root: str | None = None):
+    """Reference path convention: ``./datasets/<name-prefix>``
+    (eval_mIoU.py:78)."""
+    from ee_semantic_segmentation_tpu.data.loader import LoadDataset
+
+    data_root = data_root or os.path.join(os.getcwd(), "datasets", dataset.split("_")[0])
+    hand = LoadDataset(input_dim, None, None)
+    _, _, test = hand.get_dataset(data_root, dataset)
+    return test
+
+
+def append_csv(res: dict, save_at: str, index: str = "net_id", fillna=None):
+    import pandas as pd
+
+    df = pd.DataFrame.from_dict(res).set_index(index)
+    if fillna is not None:
+        df = df.fillna(fillna)
+    df.to_csv(save_at, mode="a", header=not os.path.exists(save_at))
+
+
+def net_id_of(path: str) -> str:
+    base = path.split("/")[-1]
+    return base[:-4] if base.endswith(".pth") else base

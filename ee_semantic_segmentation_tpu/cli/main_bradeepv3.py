@@ -1,0 +1,100 @@
+"""Train branchy DeepLabV3 with multi-exit Lovász-softmax.
+
+Mirrors /root/reference/main_bradeepv3.py: same flags (:24-36), same
+``dts_info`` experiment dict (:92-134) — loss =
+``LovaszSoftmax(classes='present', ignore=21, n_branches)`` (:121), batch 32,
+21 classes, VOC — driving the TPU-native orchestration
+(train.eval_deepv3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Evaluate branched deepv3.")
+    p.add_argument("-t", "--type", type=str, default="resnet101")
+    p.add_argument("-n", "--n_branches", type=int, default=0)
+    p.add_argument("-N", "--Name", type=str, default="deep_v3_resnet101")
+    p.add_argument("-p", "--print_file", type=str, default=None)
+    p.add_argument("-e", "--num_epochs", type=int, default=0)
+    p.add_argument("-l", "--lr", type=float, default=0.01)
+    p.add_argument("-m", "--min_lr", type=float, default=0.0)
+    p.add_argument("-L", "--base_lr", type=float, default=0)
+    p.add_argument("-c", "--count_branches", action="store_true", default=False)
+    p.add_argument("-s", "--skip", type=int, default=0)
+    p.add_argument("-f", "--fine_tune", type=str, default="")
+    p.add_argument("-d", "--dataset", type=str, default="voc_seg",
+                   help="voc_seg (default) or synthetic")
+    p.add_argument("-D", "--input_dim", type=int, default=256)
+    p.add_argument("-b", "--batch_size", type=int, default=32)
+    return p
+
+
+def make_dts_info(args, loss):
+    """Assemble the experiment dict (main_bradeepv3.py:92-134 shape)."""
+    from ee_semantic_segmentation_tpu.data.loader import LoadDataset
+
+    dataset = args.dataset
+    og_dir = os.getcwd()
+    r_dir = os.path.join(og_dir, f"{dataset}_results")
+    os.makedirs(r_dir, exist_ok=True)
+    data_path = os.path.join(og_dir, "datasets", dataset.split("_")[0])
+
+    base_lr = args.base_lr
+    if args.n_branches and not base_lr:
+        base_lr = args.lr
+
+    hand = LoadDataset(args.input_dim, None, None)
+    train_set, val_set, test_set = hand.get_dataset(data_path, dataset)
+
+    use_file = args.print_file or f"{dataset}_deepv3_msgs.txt"
+    return {
+        "name": args.Name,
+        "main_dir": og_dir,
+        "res_dir": r_dir,
+        "input_dim": args.input_dim,
+        "train_set": train_set,
+        "val_set": val_set,
+        "test_set": test_set,
+        "use_file": use_file,
+        "metrics": ["mIoU"],
+        "minimize": False,
+        "n_branches": args.n_branches,
+        "count_branches": args.count_branches,
+        "depth": 50 if "resnet50" in args.type else 101,
+        "lr": args.lr,
+        "min_lr": args.min_lr,
+        "base_lr": base_lr,
+        "num_epochs": args.num_epochs,
+        "batch_sizes": args.batch_size,
+        "loss": loss,
+        "use_scheduler": True,
+        "nout_channels": 21,
+        "skip": args.skip,
+        "fine_tune": args.fine_tune or None,
+        "freeze_backbone": bool(args.fine_tune),
+        "freeze_from": None,
+        "weighted_lr": False,
+        "branch_params": None,
+    }
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ee_semantic_segmentation_tpu.ops.branchy import LovaszSoftmax
+    from ee_semantic_segmentation_tpu.train.trainer import eval_deepv3
+    from ee_semantic_segmentation_tpu.utils.logging import log_msg
+
+    loss = LovaszSoftmax(classes="present", ignore=21, n_branches=args.n_branches)
+    info = make_dts_info(args, loss)
+    ret = eval_deepv3(info)
+    log_msg(f"Finished training. model is saved @ {ret}", info["use_file"], True)
+    log_msg("-" * 20, info["use_file"], True)
+    return ret
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+"""Early-exit inference engines and evaluators.
+
+* ``batch_eval`` — full-forward policy *simulators*: per-exit mIoU
+  (eval_mIoU equivalent), entropy-gated (eval_br_ent) and similarity-gated
+  (eval_br_sim / eval_br_images) evaluation with exit histograms.  Gating is
+  computed vectorized on device; only per-image exit choices stream back.
+* ``sequential`` — the true segment-at-a-time engine (ee_dnn_op /
+  ee_dnn_op_ne equivalents) that actually *stops* computing at the chosen
+  exit and prices each exit with the analytic FLOPs table.
+* ``images`` — palette-PNG qualitative dumps per exit (eval_image).
+"""
+
+from ee_semantic_segmentation_tpu.ee.batch_eval import (
+    mIoU_evaluator,
+    br_evaluator_entropy,
+    br_evaluator_similarity,
+)
+from ee_semantic_segmentation_tpu.ee.sequential import EarlyExitRunner

@@ -1,0 +1,204 @@
+"""Batched full-forward evaluators: per-exit mIoU + gated-policy simulators.
+
+Re-designs /root/reference/eval_mIoU.py:15-40, eval_br_ent.py:38-84 and
+eval_br_sim.py:16-65 for TPU:
+
+* ONE forward per batch computes all exits (the model's stacked output);
+* gating quantities (normalized entropy, exit-vs-exit similarity) are
+  computed **vectorized on device** for all exits at once — no per-image
+  scipy/skimage round-trips like the reference (eval_br_ent.py:59,
+  eval_br_sim.py:42);
+* exit choice is an ``argmax`` over a boolean gate matrix (first exit whose
+  gate fires, else the final head) — batched, no Python branching per image;
+* mIoU accumulation happens on device ((E+2, 3, C) confusion tensor per
+  batch) and a single small array streams back per batch.
+
+These evaluators *simulate* the early-exit policy (full compute always, like
+the reference's br_evaluator family — SURVEY.md §3.4); the engine that
+actually saves compute is ee/sequential.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ee_semantic_segmentation_tpu.ops.gating import (
+    batched_norm_entropy,
+    batched_similarity,
+    SIM_GREATER,
+)
+from ee_semantic_segmentation_tpu.ops.metrics import confusion_counts, mIoU
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def _per_exit_confusion(stacked_logits, labels, num_classes: int):
+    """(E, N, H, W, C) logits -> (E, 3, C) summed confusion counts."""
+
+    def one(logits):
+        tp, fp, fn = confusion_counts(logits, labels, num_classes)
+        return jnp.stack([tp.sum(0), fp.sum(0), fn.sum(0)])
+
+    return jax.vmap(one)(stacked_logits)
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def _chosen_confusion(pred_maps, labels, num_classes: int):
+    """(N, H, W) chosen label maps -> (3, C) confusion counts."""
+    tp, fp, fn = confusion_counts(pred_maps, labels, num_classes)
+    return jnp.stack([tp.sum(0), fp.sum(0), fn.sum(0)])
+
+
+def mIoU_evaluator(forward_fn, n_exits, n_classes, loader, *, prefix_res=True):
+    """Per-exit dataset mIoU (eval_mIoU.py:15-40 equivalent).
+
+    forward_fn(images (N,H,W,C)) -> (E, N, H, W, C) stacked logits (already
+    jitted / sharded by the caller).  Returns
+    ``{'b1_mIoU': ..., ..., 'mIoU': ...}``.
+    """
+    accs = [mIoU(n_classes) for _ in range(n_exits)]
+    for batch in loader:
+        out = forward_fn(batch["image"])
+        count = int(batch.get("count", out.shape[1]))
+        conf = np.asarray(
+            _per_exit_confusion(out[:, :count], jnp.asarray(batch["label"][:count]), n_classes)
+        )
+        for i in range(n_exits):
+            accs[i].accumulator += conf[i].astype(np.float64)
+    res = {f"b{i + 1}_mIoU": accs[i].compute() for i in range(n_exits - 1)}
+    res["mIoU"] = accs[-1].compute()
+    return res
+
+
+def _finalize_gated(res_accs, out_counts, n_branches, tau, extra):
+    res = {}
+    for i in range(n_branches):
+        res[f"b{i + 1}_mIoU"] = res_accs[i].compute()
+        res[f"b{i + 1}_count"] = int(out_counts[i])
+    res["mIoU_out"] = res_accs[-2].compute()
+    res["count_out"] = int(out_counts[-2])
+    res["mIoU_gl"] = res_accs[-1].compute()
+    res["out_gl"] = int(out_counts[-1])
+    res["t"] = tau
+    res.update(extra)
+    return res
+
+
+def br_evaluator_entropy(
+    forward_fn, n_exits, n_classes, loader, tau, *, metric="ent", size=1, skip=0
+):
+    """Entropy-gated policy simulation (eval_br_ent.py:38-84 equivalent).
+
+    Exit at the first branch i >= skip whose mean normalized entropy < tau;
+    otherwise take the final head.  Accumulators: per-exit mIoU over the
+    images that exited there, 'out' for the final head, 'gl' for the policy's
+    chosen outputs overall, plus exit counts.
+    """
+    n_branches = n_exits - 1
+    accs = [mIoU(n_classes) for _ in range(n_exits + 1)]
+    counts = np.zeros(n_exits + 1, np.int64)
+
+    pool_mode = {"ent": "none", "max": "max", "min": "min"}[metric.lower()]
+
+    @jax.jit
+    def gate_and_choose(stacked, labels):
+        # entropies: (E-1, N) mean normalized entropy per branch exit
+        ent = batched_norm_entropy(stacked[:-1], n_classes, pool_mode, size)
+        fires = ent < tau  # (E-1, N)
+        if skip:
+            fires = fires.at[:skip].set(False)
+        any_fire = jnp.any(fires, axis=0)
+        first = jnp.argmax(fires, axis=0)
+        exit_idx = jnp.where(any_fire, first, n_branches)  # (N,)
+        preds = jnp.argmax(stacked, axis=-1)  # (E, N, H, W)
+        chosen = jnp.take_along_axis(preds, exit_idx[None, :, None, None], axis=0)[0]
+        return exit_idx, chosen
+
+    for batch in loader:
+        out = forward_fn(batch["image"])
+        count = int(batch.get("count", out.shape[1]))
+        labels = jnp.asarray(batch["label"][:count])
+        exit_idx, chosen = gate_and_choose(out[:, :count], labels)
+        exit_idx = np.asarray(exit_idx)
+        preds = np.asarray(jnp.argmax(out[:, :count], axis=-1))
+        for e in range(n_exits):
+            sel = exit_idx == e
+            if sel.any():
+                conf = np.asarray(
+                    _chosen_confusion(jnp.asarray(preds[e][sel]), jnp.asarray(np.asarray(labels)[sel]), n_classes)
+                ).astype(np.float64)
+                accs[e].accumulator += conf
+                counts[e] += int(sel.sum())
+        conf_gl = np.asarray(_chosen_confusion(chosen, labels, n_classes)).astype(np.float64)
+        accs[-1].accumulator += conf_gl
+        counts[-1] += count
+
+    return _finalize_gated(accs, counts, n_branches, tau, {"pool": metric, "pool_size": size})
+
+
+def br_evaluator_similarity(
+    forward_fn, n_exits, n_classes, loader, metric, tau, *, ignore=(), skip=0,
+    image_level: bool = False,
+):
+    """Similarity-gated policy simulation (eval_br_sim.py:16-65 equivalent;
+    ``image_level=True`` mirrors eval_br_images.py's img_mIoU accumulators).
+
+    Exit at the first branch i >= 1 + skip whose label map is similar enough
+    to the previous exit's: gate fires when sim > tau for SSIM/NMI, sim < tau
+    otherwise (eval_br_sim.py:41-48).
+    """
+    from ee_semantic_segmentation_tpu.ops.metrics import img_mIoU
+
+    n_branches = n_exits - 1
+    if image_level:
+        accs = [img_mIoU(num_classes=n_classes + 1) for _ in range(n_exits + 1)]
+    else:
+        accs = [mIoU(n_classes) for _ in range(n_exits + 1)]
+    counts = np.zeros(n_exits + 1, np.int64)
+    greater = metric.lower() in SIM_GREATER
+
+    @functools.partial(jax.jit, static_argnames=())
+    def gate_and_choose(stacked):
+        preds = jnp.argmax(stacked, axis=-1)  # (E, N, H, W)
+        # sims[i] compares exit i-1 vs i for i in [1, n_branches)
+        sims = batched_similarity(preds, metric, n_classes, ignore)  # (E-1, N)
+        fires = (sims > tau) if greater else (sims < tau)
+        # valid gate positions: i in [1 + skip, n_branches)
+        idx = jnp.arange(1, n_branches)
+        mask = idx >= (1 + skip)
+        fires = fires[: n_branches - 1] & mask[:, None]
+        any_fire = jnp.any(fires, axis=0)
+        first = jnp.argmax(fires, axis=0) + 1  # exit index in [1, n_branches)
+        exit_idx = jnp.where(any_fire, first, n_branches)
+        chosen = jnp.take_along_axis(preds, exit_idx[None, :, None, None], axis=0)[0]
+        return exit_idx, preds, chosen
+
+    for batch in loader:
+        out = forward_fn(batch["image"])
+        count = int(batch.get("count", out.shape[1]))
+        labels_np = np.asarray(batch["label"][:count])
+        exit_idx, preds, chosen = gate_and_choose(out[:, :count])
+        exit_idx = np.asarray(exit_idx)
+        preds = np.asarray(preds)
+        chosen = np.asarray(chosen)
+        for j in range(count):
+            e = int(exit_idx[j])
+            if image_level:
+                accs[e](preds[e][j][None], labels_np[j][None])
+                accs[-1](chosen[j][None], labels_np[j][None])
+            else:
+                conf = np.asarray(
+                    _chosen_confusion(jnp.asarray(preds[e][j][None]), jnp.asarray(labels_np[j][None]), n_classes)
+                ).astype(np.float64)
+                accs[e].accumulator += conf
+                conf = np.asarray(
+                    _chosen_confusion(jnp.asarray(chosen[j][None]), jnp.asarray(labels_np[j][None]), n_classes)
+                ).astype(np.float64)
+                accs[-1].accumulator += conf
+            counts[e] += 1
+        counts[-1] += count
+
+    return _finalize_gated(accs, counts, n_branches, tau, {"metric": metric})

@@ -1,0 +1,45 @@
+"""Mesh construction and sharding helpers (1-D data parallelism).
+
+The model (~60 M params) fits comfortably in one chip's HBM, so the right
+decomposition for this workload is pure DP over ICI (SURVEY.md §2); the
+helpers still go through ``jax.sharding`` so wider meshes (e.g. ('data',
+'model')) slot in without touching call sites.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Batch-dim sharded, everything else replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Host numpy batch -> device arrays sharded along the batch dim."""
+    sh = data_sharding(mesh, axis)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated_sharding(mesh))

@@ -1,0 +1,368 @@
+"""Training engine + experiment orchestration.
+
+Re-designs the reference's engine (/root/reference/train_funcs.py:60-269)
+and orchestration (deepv3_funcs.py:19-279) functionally:
+
+* jitted sharded train step (one XLA program: forward all exits, loss,
+  backward, SGD) fed by the prefetching host loader;
+* per-epoch validation = per-exit mIoU via the batched evaluator
+  (train_funcs.py:167-181 -> ee/batch_eval.mIoU_evaluator);
+* early stopping follows the *average* of per-exit val mIoU
+  (train_funcs.py:186-198), with the reference's counter semantics: reset to
+  1 on an LR change instead of incrementing (train_funcs.py:230-241),
+  ``start_counting`` grace epochs, ``minimize`` direction flag;
+* best checkpoint on improvement ({params, opt_state, epoch, val metrics},
+  train_funcs.py:208-216) via Orbax; resume via ``start_from``
+  (train_funcs.py:99-109);
+* message-file progress logging (banner / per-epoch lines with LR + epoch
+  wall-clock + per-branch scores, train_funcs.py:83-97,140-164,221-229) and
+  the training-curve tracker -> ``{net_id}_tr.csv`` (deepv3_funcs.py:182-183);
+* scheduler selection: ReduceLROnPlateau(factor=.75, patience=patience//2)
+  when early stopping is on, else polynomial (1-k/N)^.9 with the min_lr
+  horizon (deepv3_funcs.py:138-156) — the plateau scheduler is *fed the
+  metric* (the reference forgot to, bug #6);
+* divergence (documented): the reference trains ``num_epochs - 1`` epochs
+  because of its loop arithmetic (bug #7); here ``num_epochs`` means what it
+  says.
+
+Wall-clock per epoch is logged like the reference (train_funcs.py:156-159);
+deeper profiling goes through ``jax.profiler`` (utils/profiling.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ee_semantic_segmentation_tpu.ee.batch_eval import mIoU_evaluator
+from ee_semantic_segmentation_tpu.parallel import (
+    create_train_state,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+)
+from ee_semantic_segmentation_tpu.train import checkpoint as ckpt
+from ee_semantic_segmentation_tpu.train.optim import branchy_lr_multipliers, sgd_momentum
+from ee_semantic_segmentation_tpu.train.schedulers import PolynomialLR, ReduceLROnPlateau
+from ee_semantic_segmentation_tpu.utils.logging import log_msg
+
+
+def train(
+    model,
+    state,
+    step_fn,
+    train_loader,
+    num_epochs,
+    *,
+    mesh=None,
+    val_loader=None,
+    n_exits=1,
+    nout_channels=21,
+    metrics=("mIoU",),
+    patience=None,
+    saveat=None,
+    save_name="model",
+    start_from=None,
+    verbose=False,
+    scheduler=None,
+    lr=0.01,
+    use_file=None,
+    minimize=False,
+    max2min=False,
+    start_counting=0,
+    name=None,
+    config=None,
+):
+    """Epoch loop with early stopping; returns (state, tracker dict)."""
+    follow = f"val_{metrics[0]}"
+    tracker = defaultdict(list)
+    name = name or "unspecified"
+    mesh = mesh or make_mesh()
+    eval_fwd = make_eval_step(model, mesh)
+
+    counter = 0
+    last_lr = 0.0
+    best_val = np.inf if minimize else 0.0
+    cur_lr = lr
+
+    if patience:
+        log_msg(
+            f"<< {name} progress update >> Earlystopping will follow {follow} "
+            f"with patience set to {patience}.",
+            use_file, verbose,
+        )
+    else:
+        log_msg(f"<< {name} progress update >> Earlystopping not set.", use_file, verbose)
+
+    if start_from:
+        state, extra = ckpt.load_checkpoint(start_from, state)
+        if patience and follow in extra:
+            best_val = extra[follow]
+
+    branchy = n_exits > 1
+    saved_path = None
+
+    def forward(images):
+        return eval_fwd(state.params, state.batch_stats, images)
+
+    for epoch in range(1, (num_epochs or 0) + 1):
+        t0 = time.perf_counter()
+        log_msg(
+            f"<< {name} progress update >> starting #{epoch} training epoch; "
+            f"lr = {cur_lr:.6g}, no updates since {counter} epochs",
+            use_file, verbose,
+        )
+        epoch_loss = 0.0
+        n_batches = 0
+        for batch in train_loader:
+            b = shard_batch(mesh, {"image": batch["image"], "label": batch["label"]})
+            state, m = step_fn(state, b["image"], b["label"], jnp.float32(cur_lr))
+            epoch_loss += float(m["loss"])
+            n_batches += 1
+        dt = time.perf_counter() - t0
+        log_msg(
+            f"<< {name} progress update >> finished #{epoch} training epoch "
+            f"after {int(dt // 60)} mins and {dt % 60:.2f} s",
+            use_file, verbose,
+        )
+        tracker["train_loss"].append(epoch_loss / max(n_batches, 1))
+
+        # ----------------------------------------------------- validation
+        branch_val = []
+        if val_loader is not None:
+            for met in metrics:
+                if met == "mIoU":
+                    res = mIoU_evaluator(forward, n_exits, nout_channels, val_loader)
+                    if branchy:
+                        for key, value in res.items():
+                            tracker[f"val_{met}_{key}"].append(value)
+                    else:
+                        tracker[f"val_{met}"].append(res["mIoU"])
+            if branchy:
+                branch_val = [
+                    tracker[k][-1] for k in tracker if k.startswith(follow)
+                ]
+                if max2min:
+                    weights = np.arange(len(branch_val), 0, -1, dtype=np.float64)
+                    cur_val = float(np.average(branch_val, weights=weights / weights.max()))
+                else:
+                    cur_val = float(np.average(branch_val))
+            else:
+                cur_val = tracker[follow][-1]
+        else:
+            cur_val = tracker["train_loss"][-1]
+
+        tracker["lr"].append(cur_lr)
+        if scheduler is not None:
+            cur_lr = scheduler(epoch, cur_val)
+
+        # -------------------------------------------------- early stopping
+        improved = (best_val > cur_val) if minimize else (best_val < cur_val)
+        if improved:
+            if saveat:
+                extra = {follow: cur_val, "epoch": epoch}
+                for k in tracker:
+                    if k.startswith("val_"):
+                        extra[k] = tracker[k][-1]
+                saved_path = ckpt.save_checkpoint(saveat, save_name, state, config, extra)
+            best_val = cur_val
+            counter = 0
+            msg = f"<< {name} progress update >> saved @ {epoch} epoch. Best score: {best_val:.5g}"
+            if branchy and branch_val:
+                msg += "\nFor each branch:\n\t" + "\n\t".join(
+                    f"b{i + 1} = {v:.5g}" for i, v in enumerate(branch_val)
+                )
+            log_msg(msg, use_file, verbose)
+        elif last_lr != cur_lr:
+            # LR just changed: give the new LR a fresh chance (train_funcs.py:230-241)
+            counter = 1
+            last_lr = cur_lr
+        else:
+            counter += 1
+
+        if patience and counter >= patience and epoch > start_counting:
+            break
+
+    return state, dict(tracker), saved_path
+
+
+def train_deepv3(model, num_epochs, kwargs):
+    """Orchestration (deepv3_funcs.py:19-197): optimizer groups, scheduler,
+    loaders, train, best-reload, curve CSV.  Returns (state, ckpt path)."""
+    from ee_semantic_segmentation_tpu.data.loader import DataLoader
+
+    net_id = kwargs.get("name", kwargs.get("net_id", "model"))
+    use_file = kwargs.get("use_file")
+    res_dir = kwargs.get("mod_dir", ".")
+    lr = kwargs["lr"]
+    min_lr = kwargs.get("min_lr", 0)
+    base_lr = kwargs.get("base_lr") or lr
+    patience = kwargs.get("patience")
+    minimize = kwargs.get("minimize", True)
+    metrics = tuple(kwargs.get("metrics", ("mIoU",)))
+    n_branches = model.config.n_branches
+    batch_size = kwargs.get("batch_sizes", 32)
+    if isinstance(batch_size, list):
+        batch_size = batch_size[0]
+    mesh = kwargs.get("mesh") or make_mesh()
+
+    mult = branchy_lr_multipliers(
+        n_branches,
+        lr,
+        base_lr=base_lr,
+        weighted_lr=kwargs.get("weighted_lr", False),
+        freeze_backbone=kwargs.get("freeze_backbone", False),
+        freeze_from=kwargs.get("freeze_from"),
+    )
+    tx = sgd_momentum(multipliers=mult)
+
+    scheduler = None
+    if kwargs.get("use_scheduler"):
+        if patience:
+            scheduler = ReduceLROnPlateau(
+                lr, factor=0.75, patience=int(patience * 0.5),
+                mode="min" if minimize else "max", eps=1e-6, min_lr=lr * 0.01,
+            )
+        else:
+            scheduler = PolynomialLR(lr, num_epochs, min_lr=min_lr)
+
+    sample = jnp.zeros(
+        (batch_size, model.config.img_dim, model.config.img_dim, 3), jnp.float32
+    )
+    rng = jax.random.PRNGKey(kwargs.get("seed", 0))
+    state = kwargs.get("state")
+    if state is None:
+        state = create_train_state(model, tx, rng, sample, mesh=mesh)
+
+    loss = kwargs["loss"]
+    step_fn = make_train_step(model, loss, tx, mesh=mesh)
+
+    train_loader = DataLoader(
+        kwargs["train_set"], batch_size, shuffle=True,
+        num_workers=kwargs.get("num_workers", 4),
+    )
+    val_loader = kwargs.get("val_loader")
+
+    log_msg(f"--> Started training {net_id}", use_file, True)
+    state, tracker, saved = train(
+        model, state, step_fn, train_loader, num_epochs,
+        mesh=mesh, val_loader=val_loader, n_exits=n_branches + 1,
+        nout_channels=kwargs.get("nout_channels", 21), metrics=metrics,
+        patience=patience, saveat=res_dir, save_name=net_id,
+        start_from=kwargs.get("start_from"), verbose=True,
+        scheduler=scheduler, lr=lr, use_file=use_file, minimize=minimize,
+        max2min=kwargs.get("max2min", False),
+        start_counting=kwargs.get("start_counting", 0), name=net_id,
+        config=model.config,
+    )
+
+    # training-curve CSV (deepv3_funcs.py:182-183)
+    try:
+        import pandas as pd
+
+        pd.DataFrame.from_dict(tracker).to_csv(
+            os.path.join(res_dir, f"{net_id}_tr.csv"), index=False
+        )
+    except Exception:
+        pass
+
+    if saved:
+        state, _ = ckpt.load_checkpoint(saved, state)
+    log_msg(f"--> Finished training {net_id}", use_file, True)
+    return state, saved
+
+
+def eval_deepv3(kwargs):
+    """Experiment entry (deepv3_funcs.py:200-279): build model, renegotiate
+    branches with the loss, train, final test mIoU -> appended CSV."""
+    from collections import defaultdict as dd
+
+    from ee_semantic_segmentation_tpu.data.loader import DataLoader
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import build_branchy_deeplabv3
+
+    name = kwargs["name"]
+    res_dir = kwargs.get("res_dir", ".")
+    saveat = os.path.join(res_dir, name)
+    os.makedirs(saveat, exist_ok=True)
+    kwargs["mod_dir"] = saveat
+    use_file = kwargs.get("use_file")
+    n_branches = kwargs["n_branches"]
+
+    fine_tune = kwargs.get("fine_tune")
+    if fine_tune:
+        cfg = ckpt.load_config(fine_tune)
+        from ee_semantic_segmentation_tpu.models.branchy_deepv3 import BranchyDeepLabV3
+
+        model = BranchyDeepLabV3(config=cfg, dtype=kwargs.get("dtype", jnp.float32))
+    else:
+        model = build_branchy_deeplabv3(
+            depth=kwargs.get("depth", 101),
+            n=n_branches,
+            img_dim=kwargs["input_dim"],
+            count_branches=kwargs.get("count_branches", True),
+            skip=kwargs.get("skip", 0),
+            branch_params=kwargs.get("branch_params"),
+            num_classes=kwargs.get("nout_channels", 21),
+            dtype=kwargs.get("dtype", jnp.float32),
+        )
+
+    if n_branches and n_branches != model.config.n_branches:
+        n_branches = model.config.n_branches
+        kwargs["loss"].update_n(n_branches)
+        kwargs["n_branches"] = n_branches
+        log_msg(
+            f"<< {name} progress update >> Number of branches is different "
+            f"then antecipated: {n_branches} branches",
+            use_file, True,
+        )
+
+    num_epochs = kwargs.get("num_epochs", 0)
+    mesh = kwargs.get("mesh") or make_mesh()
+    kwargs["mesh"] = mesh
+    state = None
+    saved = None
+    if num_epochs:
+        val_loader = DataLoader(kwargs["val_set"], kwargs.get("val_batch", 5))
+        kwargs["val_loader"] = val_loader
+        if fine_tune:
+            kwargs["start_from"] = fine_tune
+        state, saved = train_deepv3(model, num_epochs, kwargs)
+    if state is None:
+        rng = jax.random.PRNGKey(kwargs.get("seed", 0))
+        tx = sgd_momentum()
+        sample = jnp.zeros((1, kwargs["input_dim"], kwargs["input_dim"], 3))
+        state = create_train_state(model, tx, rng, sample, mesh=mesh)
+        if fine_tune:
+            state, _ = ckpt.load_checkpoint(fine_tune, state)
+        saved = ckpt.save_checkpoint(saveat, name, state, model.config)
+
+    # final test evaluation (deepv3_funcs.py:264-277)
+    test_loader = DataLoader(kwargs["test_set"], kwargs.get("test_batch", 5))
+    eval_fwd = make_eval_step(model, mesh)
+
+    def forward(images):
+        return eval_fwd(state.params, state.batch_stats, jnp.asarray(images))
+
+    res_vals = mIoU_evaluator(
+        forward, n_branches + 1, kwargs.get("nout_channels", 21), test_loader
+    )
+    res = dd(list)
+    res["net_id"].append(name)
+    for k, v in res_vals.items():
+        res[k].append(v)
+    try:
+        import pandas as pd
+
+        out_csv = f"./mIoU_{n_branches}_branches_results.csv"
+        pd.DataFrame.from_dict(res).set_index("net_id").to_csv(
+            out_csv, mode="a", header=not os.path.exists(out_csv)
+        )
+    except Exception:
+        pass
+    return saved

@@ -6,7 +6,9 @@ at conftest import time (pytest loads conftest before test modules).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Env must be set before jax initializes its backends.  NOTE: the TPU plugin
+# in this image ("axon") ignores the JAX_PLATFORMS *env var*, so the config
+# update below (after import) is what actually forces CPU.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -14,7 +16,18 @@ if "xla_force_host_platform_device_count" not in flags:
 import json
 import pathlib
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest
+
+# Persistent compilation cache: XLA CPU compiles are slow in this image
+# (~10-20 s per fresh conv); cache them across pytest runs.
+_CACHE = "/tmp/jax_compile_cache"
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 _GOLDEN = pathlib.Path(__file__).parent / "golden" / "reference_values.json"
 
