@@ -28,3 +28,26 @@ cli       mirrored command-line entry points
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt out: EE_TPU_NO_COMPILE_CACHE=1).
+
+    First compiles in this environment run tens of seconds; caching them on
+    disk makes repeated CLI / test invocations start hot."""
+    if _os.environ.get("EE_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get("EE_TPU_COMPILE_CACHE", "/tmp/jax_compile_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

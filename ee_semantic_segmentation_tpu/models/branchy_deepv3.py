@@ -56,10 +56,21 @@ class BranchyConfig:
     count_branches: bool = True
     skip: int = 0
     branch_params: dict | None = None  # {'atrous_rates': ..., 'nout_channels': ..., 'bottleneck': ...}
+    backbone: str = "resnet"  # 'resnet' | 'mobilenet_v3_large'
+    classifier_mid: int = 256  # DeepLabHead width (torchvision default 256)
 
     @property
     def n_exits(self) -> int:
         return self.n_branches + 1
+
+
+def backbone_spec(cfg: "BranchyConfig"):
+    """Resolve the static backbone description for a config."""
+    if cfg.backbone == "mobilenet_v3_large":
+        from ee_semantic_segmentation_tpu.models.mobilenetv3 import mobilenet_v3_block_specs
+
+        return mobilenet_v3_block_specs()
+    return R.resnet_block_specs(cfg.backbone_depth)
 
 
 def _branch_flops_fn(cfg_branch_params, num_classes):
@@ -129,15 +140,23 @@ class BranchyDeepLabV3(nn.Module):
 
     def setup(self):
         cfg = self.config
-        spec = R.resnet_block_specs(cfg.backbone_depth)
+        spec = backbone_spec(cfg)
         self.spec = spec
-        self.stem = R.ResNetStem(dtype=self.dtype, bn_momentum=self.bn_momentum, axis_name=self.axis_name)
-        self.blocks = [
-            R.Bottleneck(
-                blk, dtype=self.dtype, bn_momentum=self.bn_momentum, axis_name=self.axis_name, name=f"block_{i}"
-            )
-            for i, blk in enumerate(spec.blocks)
-        ]
+        common = dict(dtype=self.dtype, bn_momentum=self.bn_momentum, axis_name=self.axis_name)
+        if cfg.backbone == "mobilenet_v3_large":
+            from ee_semantic_segmentation_tpu.models import mobilenetv3 as M
+
+            self.stem = M.MNV3Stem(**common)
+            self.blocks = [
+                M.InvertedResidual(blk, name=f"block_{i}", **common)
+                for i, blk in enumerate(spec.blocks)
+            ]
+        else:
+            self.stem = R.ResNetStem(**common)
+            self.blocks = [
+                R.Bottleneck(blk, name=f"block_{i}", **common)
+                for i, blk in enumerate(spec.blocks)
+            ]
         bp = cfg.branch_params
         use_custom = isinstance(bp, dict) and all(
             k in bp for k in ("nout_channels", "atrous_rates")
@@ -170,6 +189,7 @@ class BranchyDeepLabV3(nn.Module):
         self.branches = branch_list
         self.classifier = heads.DeepLabHead(
             num_classes=cfg.num_classes,
+            mid_channels=cfg.classifier_mid,
             dtype=self.dtype,
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
@@ -234,7 +254,7 @@ class BranchyDeepLabV3(nn.Module):
         if img_dim is None:
             img_dim = cfg.img_dim
         h, w = (img_dim, img_dim) if isinstance(img_dim, int) else img_dim
-        spec = R.resnet_block_specs(cfg.backbone_depth)
+        spec = backbone_spec(cfg)
         cum = spec.cumulative_flops(h, w)
         geo = spec.block_geometry(h, w)
         ends = list(cfg.segment_ends) + [len(spec.blocks)]
@@ -255,7 +275,10 @@ class BranchyDeepLabV3(nn.Module):
         # classifier head on final trunk output
         fh, fw, _ = spec.blocks[-1].out_shape(*geo[-1][:2])
         br_flops.append(
-            heads.deeplab_head_flops(fh, fw, spec.blocks[-1].cout, num_classes=cfg.num_classes)
+            heads.deeplab_head_flops(
+                fh, fw, spec.blocks[-1].cout, num_classes=cfg.num_classes,
+                mid=cfg.classifier_mid,
+            )
         )
 
         cumulative = []
@@ -276,11 +299,16 @@ def build_branchy_deeplabv3(
     num_classes: int = 21,
     dtype: Any = jnp.float32,
     axis_name: str | None = None,
+    backbone: str = "resnet",
 ) -> BranchyDeepLabV3:
     """Build the model the way the reference's constructor does
     (from_deepv3_new.py:57-97): place branches by FLOPs equipartition, then
     instantiate.  The realized ``n_branches`` may be smaller than requested."""
-    spec = R.resnet_block_specs(depth)
+    probe = BranchyConfig(
+        backbone_depth=depth, img_dim=img_dim, n_branches=0, segment_ends=(),
+        branch_channels=(), backbone=backbone,
+    )
+    spec = backbone_spec(probe)
     ends, chans = place_branches(
         spec, n, img_dim, count_branches=count_branches, skip=skip,
         branch_params=branch_params, num_classes=num_classes,
@@ -295,5 +323,6 @@ def build_branchy_deeplabv3(
         count_branches=count_branches,
         skip=skip,
         branch_params=branch_params,
+        backbone=backbone,
     )
     return BranchyDeepLabV3(config=cfg, dtype=dtype, axis_name=axis_name)

@@ -38,3 +38,33 @@ def golden():
     tools/gen_golden.py (data fixtures, not code)."""
     with open(_GOLDEN) as fh:
         return json.load(fh)
+
+
+@pytest.fixture(scope="session")
+def tiny_model():
+    """One shared tiny branchy model (1 branch, 5 classes, 32px) so every
+    test file reuses the same compiled programs via the persistent cache."""
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import (
+        BranchyConfig,
+        BranchyDeepLabV3,
+    )
+
+    cfg = BranchyConfig(
+        backbone_depth=50, img_dim=32, n_branches=1, segment_ends=(3,),
+        branch_channels=(256,), num_classes=5,
+    )
+    return BranchyDeepLabV3(config=cfg)
+
+
+@pytest.fixture(scope="session")
+def tiny_state(tiny_model):
+    import jax
+    import jax.numpy as jnp
+
+    from ee_semantic_segmentation_tpu.parallel import create_train_state
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    tx = sgd_momentum()
+    return create_train_state(
+        tiny_model, tx, jax.random.PRNGKey(7), jnp.zeros((8, 32, 32, 3))
+    )

@@ -74,19 +74,8 @@ def test_schedulers():
 
 
 @pytest.fixture(scope="module")
-def tiny_setup():
-    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import (
-        BranchyConfig,
-        BranchyDeepLabV3,
-    )
-
-    # Tiny hand-placed 1-branch model (avoid big compiles): segment at block 3.
-    cfg = BranchyConfig(
-        backbone_depth=50, img_dim=32, n_branches=1, segment_ends=(3,),
-        branch_channels=(256,), num_classes=5,
-    )
-    model = BranchyDeepLabV3(config=cfg)
-    return model
+def tiny_setup(tiny_model):
+    return tiny_model
 
 
 def test_dp_train_step_on_mesh(tiny_setup):
