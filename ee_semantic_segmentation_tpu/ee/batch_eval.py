@@ -52,14 +52,19 @@ def _chosen_confusion(pred_maps, labels, num_classes: int):
     return jnp.stack([tp.sum(0), fp.sum(0), fn.sum(0)])
 
 
-def mIoU_evaluator(forward_fn, n_exits, n_classes, loader, *, prefix_res=True):
+def mIoU_evaluator(forward_fn, n_exits, n_classes, loader, *, empty_class="nan"):
     """Per-exit dataset mIoU (eval_mIoU.py:15-40 equivalent).
 
     forward_fn(images (N,H,W,C)) -> (E, N, H, W, C) stacked logits (already
     jitted / sharded by the caller).  Returns
     ``{'b1_mIoU': ..., ..., 'mIoU': ...}``.
+
+    ``empty_class``: policy for classes absent from both pred and GT —
+    'nan' reproduces the reference's NaN propagation (compute_mIoU.py:35),
+    'one' is the value its broken guard *intended* (the trainer uses this so
+    early stopping survives small validation sets).
     """
-    accs = [mIoU(n_classes) for _ in range(n_exits)]
+    accs = [mIoU(n_classes, empty_class=empty_class) for _ in range(n_exits)]
     for batch in loader:
         out = forward_fn(batch["image"])
         count = int(batch.get("count", out.shape[1]))

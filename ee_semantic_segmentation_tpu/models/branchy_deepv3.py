@@ -300,6 +300,7 @@ def build_branchy_deeplabv3(
     dtype: Any = jnp.float32,
     axis_name: str | None = None,
     backbone: str = "resnet",
+    classifier_mid: int = 256,
 ) -> BranchyDeepLabV3:
     """Build the model the way the reference's constructor does
     (from_deepv3_new.py:57-97): place branches by FLOPs equipartition, then
@@ -324,5 +325,6 @@ def build_branchy_deeplabv3(
         skip=skip,
         branch_params=branch_params,
         backbone=backbone,
+        classifier_mid=classifier_mid,
     )
     return BranchyDeepLabV3(config=cfg, dtype=dtype, axis_name=axis_name)

@@ -138,7 +138,10 @@ def train(
         if val_loader is not None:
             for met in metrics:
                 if met == "mIoU":
-                    res = mIoU_evaluator(forward, n_exits, nout_channels, val_loader)
+                    # 'one' = the reference's intended empty-class guard value
+                    res = mIoU_evaluator(
+                        forward, n_exits, nout_channels, val_loader, empty_class="one"
+                    )
                     if branchy:
                         for key, value in res.items():
                             tracker[f"val_{met}_{key}"].append(value)
@@ -274,6 +277,10 @@ def train_deepv3(model, num_epochs, kwargs):
 
     if saved:
         state, _ = ckpt.load_checkpoint(saved, state)
+    else:
+        # no epoch ever improved the tracked metric: keep the final state so
+        # downstream evaluation still has a checkpoint to load
+        saved = ckpt.save_checkpoint(res_dir, net_id, state, model.config)
     log_msg(f"--> Finished training {net_id}", use_file, True)
     return state, saved
 
@@ -310,6 +317,8 @@ def eval_deepv3(kwargs):
             branch_params=kwargs.get("branch_params"),
             num_classes=kwargs.get("nout_channels", 21),
             dtype=kwargs.get("dtype", jnp.float32),
+            backbone=kwargs.get("backbone", "resnet"),
+            classifier_mid=kwargs.get("classifier_mid", 256),
         )
 
     if n_branches and n_branches != model.config.n_branches:

@@ -1,0 +1,107 @@
+"""CLI surface tests: flag parity with the reference + one orchestration
+end-to-end run (eval_deepv3 on synthetic data, tiny MobileNetV3 model)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_main_parser_flags_match_reference():
+    from ee_semantic_segmentation_tpu.cli.main_bradeepv3 import build_parser
+
+    args = build_parser().parse_args(
+        ["-t", "resnet50", "-n", "4", "-N", "exp1", "-e", "60", "-l", "0.02",
+         "-m", "0.001", "-L", "0.005", "-c", "-s", "1", "-f", "prev.ckpt"]
+    )
+    assert args.type == "resnet50" and args.n_branches == 4
+    assert args.Name == "exp1" and args.num_epochs == 60
+    assert args.lr == 0.02 and args.min_lr == 0.001 and args.base_lr == 0.005
+    assert args.count_branches is True and args.skip == 1
+    assert args.fine_tune == "prev.ckpt"
+
+
+def test_eval_parsers_flags():
+    from ee_semantic_segmentation_tpu.cli.eval_miou import build_parser as p1
+    from ee_semantic_segmentation_tpu.cli.eval_br_ent import build_parser as p2
+    from ee_semantic_segmentation_tpu.cli.eval_br_sim import build_parser as p3
+    from ee_semantic_segmentation_tpu.cli.ee_dnn_op import build_parser as p4
+    from ee_semantic_segmentation_tpu.cli.eval_flops import build_parser as p5
+
+    a = p1().parse_args(["-M", "m1", "m2", "-c", "21", "-D", "256", "256", "-d", "voc_seg", "-n", "7"])
+    assert a.models == ["m1", "m2"] and a.n_classes == 21 and a.n_branches == 7
+
+    a = p2().parse_args(["-M", "m", "-c", "22", "-t", "0.4", "-m", "max", "-p", "2", "-S", "1"])
+    assert a.threshold == 0.4 and a.metric == "max" and a.pool_size == 2 and a.skip == 1
+
+    a = p3().parse_args(["-M", "m", "-c", "22", "-m", "ssim", "-t", "0.9"])
+    assert a.metric == "ssim"
+
+    a = p4(entropy=False).parse_args(["-M", "m", "-m", "vi", "-t", "0.3", "-n", "21", "-i", "-I", "1", "2"])
+    assert a.ignore_background is True and a.ignore_branch == [1, 2]
+
+    a = p5().parse_args(["-M", "m", "-s", "512"])
+    assert a.size == [512]
+
+
+def test_union_miou():
+    from ee_semantic_segmentation_tpu.cli.ee_dnn_op import union_mIoU
+
+    m = union_mIoU(3)
+    pred = np.array([[0, 1], [2, 2]])
+    gt = np.array([[0, 1], [2, 1]])
+    m(pred, gt)
+    # class0: i=1,u=1; class1: i=1,u=2; class2: i=1,u=2 -> (1+.5+.5)/3
+    assert m.compute() == pytest.approx((1 + 0.5 + 0.5) / 3)
+
+
+def test_voc_palette_formula():
+    from ee_semantic_segmentation_tpu.cli.eval_image import voc_palette
+
+    pal = voc_palette(21)
+    assert pal.shape == (21, 3)
+    base = np.array([2**25 - 1, 2**15 - 1, 2**21 - 1], np.int64)
+    np.testing.assert_array_equal(pal[5], (5 * base) % 255)
+
+
+@pytest.mark.slow
+def test_eval_deepv3_end_to_end(tmp_path, monkeypatch):
+    """Full orchestration: build tiny MNV3 branchy model, renegotiate
+    branches with the loss, train 1 epoch on synthetic data, test mIoU CSV."""
+    monkeypatch.chdir(tmp_path)
+    from ee_semantic_segmentation_tpu.data.synthetic import SyntheticSegDataset
+    from ee_semantic_segmentation_tpu.ops.xentropy import BrXEntropyLoss
+    from ee_semantic_segmentation_tpu.train.trainer import eval_deepv3
+
+    loss = BrXEntropyLoss(ignore_index=21, b_reduction="sum", n_exits=3)
+    kwargs = {
+        "name": "tiny_e2e",
+        "res_dir": str(tmp_path),
+        "input_dim": 32,
+        "train_set": SyntheticSegDataset(size=32, n=8, num_classes=21, void=21, seed=0),
+        "val_set": SyntheticSegDataset(size=32, n=4, num_classes=21, void=21, seed=1),
+        "test_set": SyntheticSegDataset(size=32, n=4, num_classes=21, void=21, seed=2),
+        "use_file": str(tmp_path / "msgs.txt"),
+        "metrics": ["mIoU"],
+        "minimize": False,
+        "n_branches": 2,
+        "count_branches": False,
+        "backbone": "mobilenet_v3_large",
+        "branch_params": {"nout_channels": 32, "atrous_rates": (2, 4, 6)},
+        "classifier_mid": 32,
+        "lr": 0.05,
+        "num_epochs": 1,
+        "batch_sizes": 8,
+        "loss": loss,
+        "use_scheduler": True,
+        "nout_channels": 21,
+        "skip": 0,
+        "patience": 5,
+        "val_batch": 4,
+        "test_batch": 4,
+    }
+    saved = eval_deepv3(kwargs)
+    assert saved and os.path.exists(saved + ".json")
+    assert os.path.exists("mIoU_%d_branches_results.csv" % kwargs["n_branches"])
+    msgs = open(tmp_path / "msgs.txt").read()
+    assert "Started training" in msgs

@@ -62,7 +62,17 @@ def test_train_loop_converges_and_checkpoints(setup, tmp_path):
 def test_checkpoint_roundtrip_and_resume(setup, tmp_path):
     from ee_semantic_segmentation_tpu.train import checkpoint as ckpt
 
-    state = setup["state"]
+    # The jitted train step donates its input state (buffers deleted), so the
+    # fixture's state may be consumed by the previous test — build fresh.
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from ee_semantic_segmentation_tpu.parallel import create_train_state
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    state = create_train_state(
+        setup["model"], sgd_momentum(), _jax.random.PRNGKey(3), _jnp.zeros((8, 32, 32, 3))
+    )
     path = ckpt.save_checkpoint(str(tmp_path), "rt", state, setup["model"].config,
                                 {"val_mIoU": 0.5})
     # mutate then restore
