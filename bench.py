@@ -39,21 +39,27 @@ def main():
     variables = model.init(rng, x0, train=False)
 
     @jax.jit
-    def forward(params, batch_stats, images):
-        return model.apply({"params": params, "batch_stats": batch_stats}, images, train=False)
+    def forward_sum(params, batch_stats, images):
+        # Full multi-exit forward; reduce to a scalar ON DEVICE so fetching
+        # it forces completion without shipping the (E,N,H,W,C) logits to
+        # the host (remote-TPU tunnels make block_until_ready unreliable
+        # and large fetches slow).
+        out = model.apply({"params": params, "batch_stats": batch_stats}, images, train=False)
+        return jnp.sum(out[..., 0].astype(jnp.float32))
 
     params, stats = variables["params"], variables.get("batch_stats", {})
     images = jnp.asarray(np.random.RandomState(0).rand(batch, img, img, 3), jnp.float32)
 
-    # warmup + compile
-    forward(params, stats, images).block_until_ready()
-    forward(params, stats, images).block_until_ready()
+    # warmup + compile (fetch forces real completion)
+    float(forward_sum(params, stats, images))
+    float(forward_sum(params, stats, images))
 
     t0 = time.perf_counter()
+    v = 0.0
     for _ in range(iters):
-        out = forward(params, stats, images)
-    out.block_until_ready()
+        v = float(forward_sum(params, stats, images))
     dt = time.perf_counter() - t0
+    assert np.isfinite(v)
 
     ips = batch * iters / dt
     print(

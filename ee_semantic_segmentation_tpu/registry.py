@@ -84,6 +84,21 @@ get_metric: dict[str, Callable] = {
     **seg_losses,
 }
 
+# ------------------------------------------------------- model constructors
+def _net_consts():
+    """Name -> model class (module_variables.py:39-46 ``net_consts``; the
+    reference's U-Net/AE source files are missing from its snapshot — these
+    resolve to the reconstructed family in models/unet.py)."""
+    from ee_semantic_segmentation_tpu.models.unet import AE, BranchyUNet, UNet
+
+    return {
+        "UNet": UNet,
+        "EUNet": BranchyUNet,
+        "AE": AE,
+        "branchy_unet": BranchyUNet,
+    }
+
+
 # ------------------------------------------------------------- initializers
 get_initializer: dict[str, Callable] = {
     "xavier_u": jax.nn.initializers.glorot_uniform,

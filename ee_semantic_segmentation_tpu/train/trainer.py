@@ -147,6 +147,23 @@ def train(
                             tracker[f"val_{met}_{key}"].append(value)
                     else:
                         tracker[f"val_{met}"].append(res["mIoU"])
+                else:
+                    # generic registry metric (train_funcs.py:173-181 path)
+                    from ee_semantic_segmentation_tpu.ee.generic_eval import (
+                        eval_branches as _eval_branches,
+                        eval_results as _eval_results,
+                    )
+                    from ee_semantic_segmentation_tpu.registry import get_metric
+
+                    fn = get_metric[met]()
+                    if branchy:
+                        res = _eval_branches(n_exits - 1)(forward, val_loader, fn)
+                        for key, value in res.items():
+                            tracker[f"val_{met}_{key}"].append(value)
+                    else:
+                        single = lambda x: forward(x)[0]
+                        val = _eval_results(count_one=True)(single, val_loader, fn)
+                        tracker[f"val_{met}"].append(val)
             if branchy:
                 branch_val = [
                     tracker[k][-1] for k in tracker if k.startswith(follow)
