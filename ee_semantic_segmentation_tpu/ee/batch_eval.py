@@ -92,6 +92,31 @@ def _finalize_gated(res_accs, out_counts, n_branches, tau, extra):
     return res
 
 
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def _bucketed_confusion(preds, labels, exit_idx, num_classes: int):
+    """Per-exit-bucket confusion, fully on device.
+
+    preds (E, N, H, W) label maps, labels (N, H, W), exit_idx (N,) in [0, E).
+    Returns ((E, 3, C) per-bucket counts over the images routed to each exit,
+    (3, C) counts of the chosen maps, (E,) bucket counts).
+    """
+    E = preds.shape[0]
+
+    def per_exit(e):
+        tp, fp, fn = confusion_counts(preds[e], labels, num_classes)  # (N, C)
+        m = (exit_idx == e).astype(jnp.float32)[:, None]
+        return jnp.stack([(tp * m).sum(0), (fp * m).sum(0), (fn * m).sum(0)])
+
+    bucketed = jax.vmap(per_exit)(jnp.arange(E))
+    chosen = jnp.take_along_axis(preds, exit_idx[None, :, None, None], axis=0)[0]
+    tp, fp, fn = confusion_counts(chosen, labels, num_classes)
+    chosen_conf = jnp.stack([tp.sum(0), fp.sum(0), fn.sum(0)])
+    bucket_counts = jnp.sum(
+        (exit_idx[None, :] == jnp.arange(E)[:, None]).astype(jnp.int32), axis=1
+    )
+    return bucketed, chosen_conf, bucket_counts
+
+
 def br_evaluator_entropy(
     forward_fn, n_exits, n_classes, loader, tau, *, metric="ent", size=1, skip=0
 ):
@@ -100,7 +125,9 @@ def br_evaluator_entropy(
     Exit at the first branch i >= skip whose mean normalized entropy < tau;
     otherwise take the final head.  Accumulators: per-exit mIoU over the
     images that exited there, 'out' for the final head, 'gl' for the policy's
-    chosen outputs overall, plus exit counts.
+    chosen outputs overall, plus exit counts.  Everything (gating, argmax,
+    bucketed confusion) runs on device; only (E+1, 3, C)-sized counts stream
+    back per batch.
     """
     n_branches = n_exits - 1
     accs = [mIoU(n_classes) for _ in range(n_exits + 1)]
@@ -109,7 +136,7 @@ def br_evaluator_entropy(
     pool_mode = {"ent": "none", "max": "max", "min": "min"}[metric.lower()]
 
     @jax.jit
-    def gate_and_choose(stacked, labels):
+    def evaluate(stacked, labels):
         # entropies: (E-1, N) mean normalized entropy per branch exit
         ent = batched_norm_entropy(stacked[:-1], n_classes, pool_mode, size)
         fires = ent < tau  # (E-1, N)
@@ -119,26 +146,18 @@ def br_evaluator_entropy(
         first = jnp.argmax(fires, axis=0)
         exit_idx = jnp.where(any_fire, first, n_branches)  # (N,)
         preds = jnp.argmax(stacked, axis=-1)  # (E, N, H, W)
-        chosen = jnp.take_along_axis(preds, exit_idx[None, :, None, None], axis=0)[0]
-        return exit_idx, chosen
+        return _bucketed_confusion(preds, labels, exit_idx, num_classes=n_classes)
 
     for batch in loader:
         out = forward_fn(batch["image"])
         count = int(batch.get("count", out.shape[1]))
         labels = jnp.asarray(batch["label"][:count])
-        exit_idx, chosen = gate_and_choose(out[:, :count], labels)
-        exit_idx = np.asarray(exit_idx)
-        preds = np.asarray(jnp.argmax(out[:, :count], axis=-1))
+        bucketed, chosen_conf, bucket_counts = evaluate(out[:, :count], labels)
+        bucketed = np.asarray(bucketed, np.float64)
         for e in range(n_exits):
-            sel = exit_idx == e
-            if sel.any():
-                conf = np.asarray(
-                    _chosen_confusion(jnp.asarray(preds[e][sel]), jnp.asarray(np.asarray(labels)[sel]), n_classes)
-                ).astype(np.float64)
-                accs[e].accumulator += conf
-                counts[e] += int(sel.sum())
-        conf_gl = np.asarray(_chosen_confusion(chosen, labels, n_classes)).astype(np.float64)
-        accs[-1].accumulator += conf_gl
+            accs[e].accumulator += bucketed[e]
+        accs[-1].accumulator += np.asarray(chosen_conf, np.float64)
+        counts[:n_exits] += np.asarray(bucket_counts, np.int64)
         counts[-1] += count
 
     return _finalize_gated(accs, counts, n_branches, tau, {"pool": metric, "pool_size": size})
@@ -165,8 +184,8 @@ def br_evaluator_similarity(
     counts = np.zeros(n_exits + 1, np.int64)
     greater = metric.lower() in SIM_GREATER
 
-    @functools.partial(jax.jit, static_argnames=())
-    def gate_and_choose(stacked):
+    @jax.jit
+    def gate(stacked):
         preds = jnp.argmax(stacked, axis=-1)  # (E, N, H, W)
         # sims[i] compares exit i-1 vs i for i in [1, n_branches)
         sims = batched_similarity(preds, metric, n_classes, ignore)  # (E-1, N)
@@ -178,32 +197,35 @@ def br_evaluator_similarity(
         any_fire = jnp.any(fires, axis=0)
         first = jnp.argmax(fires, axis=0) + 1  # exit index in [1, n_branches)
         exit_idx = jnp.where(any_fire, first, n_branches)
-        chosen = jnp.take_along_axis(preds, exit_idx[None, :, None, None], axis=0)[0]
-        return exit_idx, preds, chosen
+        return preds, exit_idx
+
+    @jax.jit
+    def gated_confusion(stacked, labels):
+        preds, exit_idx = gate(stacked)
+        return _bucketed_confusion(preds, labels, exit_idx, num_classes=n_classes)
 
     for batch in loader:
         out = forward_fn(batch["image"])
         count = int(batch.get("count", out.shape[1]))
         labels_np = np.asarray(batch["label"][:count])
-        exit_idx, preds, chosen = gate_and_choose(out[:, :count])
-        exit_idx = np.asarray(exit_idx)
-        preds = np.asarray(preds)
-        chosen = np.asarray(chosen)
-        for j in range(count):
-            e = int(exit_idx[j])
-            if image_level:
+        if image_level:
+            preds, exit_idx = gate(out[:, :count])
+            exit_idx = np.asarray(exit_idx)
+            preds = np.asarray(preds)
+            for j in range(count):
+                e = int(exit_idx[j])
                 accs[e](preds[e][j][None], labels_np[j][None])
-                accs[-1](chosen[j][None], labels_np[j][None])
-            else:
-                conf = np.asarray(
-                    _chosen_confusion(jnp.asarray(preds[e][j][None]), jnp.asarray(labels_np[j][None]), n_classes)
-                ).astype(np.float64)
-                accs[e].accumulator += conf
-                conf = np.asarray(
-                    _chosen_confusion(jnp.asarray(chosen[j][None]), jnp.asarray(labels_np[j][None]), n_classes)
-                ).astype(np.float64)
-                accs[-1].accumulator += conf
-            counts[e] += 1
+                accs[-1](preds[e][j][None], labels_np[j][None])
+                counts[e] += 1
+        else:
+            bucketed, chosen_conf, bucket_counts = gated_confusion(
+                out[:, :count], jnp.asarray(labels_np)
+            )
+            bucketed = np.asarray(bucketed, np.float64)
+            for e in range(n_exits):
+                accs[e].accumulator += bucketed[e]
+            accs[-1].accumulator += np.asarray(chosen_conf, np.float64)
+            counts[:n_exits] += np.asarray(bucket_counts, np.int64)
         counts[-1] += count
 
     return _finalize_gated(accs, counts, n_branches, tau, {"metric": metric})
