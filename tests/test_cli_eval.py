@@ -1,0 +1,115 @@
+"""End-to-end CLI eval runs against a real saved checkpoint (synthetic data,
+tiny MobileNetV3 model — shares compiled programs with test_cli.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import (
+        BranchyConfig,
+        BranchyDeepLabV3,
+    )
+    from ee_semantic_segmentation_tpu.parallel import create_train_state
+    from ee_semantic_segmentation_tpu.train import checkpoint as ckpt
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    cfg = BranchyConfig(
+        backbone_depth=0, img_dim=32, n_branches=2, segment_ends=(8, 12),
+        branch_channels=(80, 112), num_classes=21, backbone="mobilenet_v3_large",
+        branch_params={"nout_channels": 32, "atrous_rates": (2, 4, 6)},
+        classifier_mid=32,
+    )
+    model = BranchyDeepLabV3(config=cfg)
+    state = create_train_state(
+        model, sgd_momentum(), jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    d = tmp_path_factory.mktemp("ckpts")
+    return ckpt.save_checkpoint(str(d), "tiny_eval", state, cfg)
+
+
+@pytest.mark.slow
+def test_eval_miou_cli(ckpt_path, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ee_semantic_segmentation_tpu.cli.eval_miou import main
+
+    main(["-M", ckpt_path, "-c", "21", "-D", "32", "32", "-d", "synthetic",
+          "-n", "2", "-s", "miou_out", "-b", "4"])
+    assert os.path.exists("miou_out.csv")
+    import pandas as pd
+
+    df = pd.read_csv("miou_out.csv")
+    assert {"b1_mIoU", "b2_mIoU", "mIoU"} <= set(df.columns)
+
+
+@pytest.mark.slow
+def test_eval_br_ent_cli(ckpt_path, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ee_semantic_segmentation_tpu.cli.eval_br_ent import main
+
+    main(["-M", ckpt_path, "-c", "21", "-D", "32", "32", "-d", "synthetic",
+          "-n", "2", "-t", "0.99", "-s", "ent_out", "-b", "4"])
+    import pandas as pd
+
+    df = pd.read_csv("ent_out.csv")
+    need = {"b1_mIoU", "b1_count", "b2_mIoU", "b2_count", "mIoU_out",
+            "count_out", "mIoU_gl", "out_gl", "t", "pool", "pool_size"}
+    assert need <= set(df.columns)
+    counts = df[["b1_count", "b2_count", "count_out"]].iloc[0].sum()
+    assert counts == df["out_gl"].iloc[0] == 16
+
+
+@pytest.mark.slow
+def test_eval_flops_cli(ckpt_path, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ee_semantic_segmentation_tpu.cli.eval_flops import main
+
+    main(["-M", ckpt_path, "-s", "32"])
+    import pandas as pd
+
+    df = pd.read_csv("2_branches_model_flops.csv")
+    assert {"b1_flops", "b2_flops", "b3_flops"} <= set(df.columns)
+    row = df.iloc[0]
+    assert row["b1_flops"] < row["b2_flops"] < row["b3_flops"]
+
+
+@pytest.mark.slow
+def test_ee_dnn_op_ne_cli(ckpt_path, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ee_semantic_segmentation_tpu.cli.ee_dnn_op_ne import main
+
+    main(["-M", ckpt_path, "-m", "ent", "-t", "0.99", "-s", "32", "32",
+          "-d", "synthetic", "-n", "21"])
+    import pandas as pd
+    import glob
+
+    files = glob.glob("ee_2_ent_lw_m2_res.csv")
+    assert files
+    df = pd.read_csv(files[0])
+    assert {"avg_flops", "edge_flops", "mIoU", "n_imgs"} <= set(df.columns)
+    assert df["n_imgs"].iloc[0] == 16
+    # exit histogram columns sum to image count
+    assert df[["e_1", "e_2", "out"]].iloc[0].sum() == 16
+
+
+@pytest.mark.slow
+def test_eval_image_cli(ckpt_path, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from PIL import Image
+
+    from ee_semantic_segmentation_tpu.cli.eval_image import main
+
+    arr = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)
+    Image.fromarray(arr).save("test_img.jpg")
+    main(["-M", ckpt_path, "-i", "test_img.jpg"])
+    out_dir = "tiny_eval_images"
+    assert os.path.exists(os.path.join(out_dir, "test_img_b1.png"))
+    assert os.path.exists(os.path.join(out_dir, "test_img_b3.png"))
+    img = Image.open(os.path.join(out_dir, "test_img_b1.png"))
+    assert img.size == (32, 32)
