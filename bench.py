@@ -28,8 +28,8 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
     img = 512 if on_tpu else 64  # CPU fallback keeps the script testable
-    batch = 16 if on_tpu else 2
-    iters = 20 if on_tpu else 2
+    batch = 32 if on_tpu else 2
+    iters = 10 if on_tpu else 2
 
     model = build_branchy_deeplabv3(
         depth=50, n=2, img_dim=img, count_branches=False, dtype=jnp.bfloat16
@@ -45,7 +45,7 @@ def main():
         # the host (remote-TPU tunnels make block_until_ready unreliable
         # and large fetches slow).
         out = model.apply({"params": params, "batch_stats": batch_stats}, images, train=False)
-        return jnp.sum(out[..., 0].astype(jnp.float32))
+        return jnp.sum(out.astype(jnp.float32))
 
     params, stats = variables["params"], variables.get("batch_stats", {})
     images = jnp.asarray(np.random.RandomState(0).rand(batch, img, img, 3), jnp.float32)

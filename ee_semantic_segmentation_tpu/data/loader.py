@@ -31,7 +31,8 @@ class Batch(dict):
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, pad_final: bool = True, seed: int = 0,
-                 num_workers: int = 4, prefetch: int = 2):
+                 num_workers: int = 4, prefetch: int = 2,
+                 shard_by_process: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -41,9 +42,13 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.epoch = 0
+        # Multi-host: every process draws the SAME global permutation and
+        # keeps its process_index-strided slice, so the global batch is
+        # disjoint across hosts (batch_size here is the per-host size).
+        self.shard_by_process = shard_by_process
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._indices())
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -52,8 +57,14 @@ class DataLoader:
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 1_000_003 + self.epoch)
-            return rng.permutation(n)
-        return np.arange(n)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        if self.shard_by_process:
+            import jax
+
+            idx = idx[jax.process_index() :: jax.process_count()]
+        return idx
 
     def __iter__(self) -> Iterator[Batch]:
         idx = self._indices()

@@ -19,6 +19,22 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host bring-up: ``jax.distributed.initialize`` over DCN, then a
+    global 1-D mesh over every chip in the job.  Per-host input sharding is
+    handled by DataLoader(shard_by_process=True).  No-op when single-host
+    args are absent and no cluster env is detected."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except Exception:
+        pass  # single-host / already initialized
+    return make_mesh()
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Batch-dim sharded, everything else replicated."""
     return NamedSharding(mesh, P(axis))

@@ -174,6 +174,18 @@ def test_lovasz_grad_matches_reference_semantics():
     np.testing.assert_allclose(g, expected, rtol=1e-6)
 
 
+def test_branchy_loss_wrapper_modes(golden):
+    """funcs.py:40-68 Branchy_loss: batch-first stack, weight masks."""
+    logits, labels = FX.random_logits_novoid(seed=9, n=2, c=4, h=5, w=6)
+    stack = np.stack([logits + 0.1 * k for k in range(3)], axis=1)  # (N,E,C,H,W)
+    stack_nhwc = FX.nchw_to_nhwc(stack)  # (N, E, H, W, C)
+    wrapped = B.Branchy_loss(L.FocalLoss(reduction="mean"))
+    for mode in ("equal", "min_first", "max_first"):
+        wrapped.weight = mode
+        got = np.asarray(wrapped(stack_nhwc, labels))
+        np.testing.assert_allclose(got, golden[f"wrap/branchy_loss_{mode}"], rtol=1e-4)
+
+
 def test_lovasz_all_void_is_zero():
     pred = np.random.RandomState(0).randn(1, 4, 4, 3).astype(np.float32)
     labels = np.full((1, 4, 4), 3, np.int64)  # every pixel void

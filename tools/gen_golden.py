@@ -140,6 +140,23 @@ def main():
     )
     g["exit/br_focal"] = f(ref_branchy.FocalLoss(n_branches=2)(np_, nt_[:, None].long()))
 
+    # Branchy_loss wrapper (funcs.py:40-68).  funcs.py itself cannot be
+    # imported (its module_variables import chain hits the snapshot's missing
+    # files), so the wrapper's arithmetic is reproduced verbatim in torch:
+    # per-exit losses then the equal / min_first / max_first weight mask.
+    logits_bf, labels_bf = FX.random_logits_novoid(seed=9, n=2, c=4, h=5, w=6)
+    stack_bf = np.stack([logits_bf + 0.1 * k for k in range(3)], axis=1)  # (N, E, C, H, W)
+    fl = ref_single.FocalLoss(reduction="mean")
+    out_t = t(stack_bf)
+    tgt_t = t(labels_bf[:, None]).long()
+    n_exits_bf = out_t.shape[1]
+    per_exit = torch.stack([fl(out_t[:, i], tgt_t) for i in range(n_exits_bf)])
+    g["wrap/branchy_loss_equal"] = [float(v) for v in per_exit]
+    mask_min = torch.arange(1, n_exits_bf + 1) / n_exits_bf
+    mask_max = torch.arange(n_exits_bf, 0, -1) / n_exits_bf
+    g["wrap/branchy_loss_min_first"] = [float(v) for v in mask_min * per_exit]
+    g["wrap/branchy_loss_max_first"] = [float(v) for v in mask_max * per_exit]
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as fh:
         json.dump(g, fh, indent=2, sort_keys=True)
