@@ -39,25 +39,28 @@ def main():
     variables = model.init(rng, x0, train=False)
 
     @jax.jit
-    def forward_sum(params, batch_stats, images):
-        # Full multi-exit forward; reduce to a scalar ON DEVICE so fetching
-        # it forces completion without shipping the (E,N,H,W,C) logits to
-        # the host (remote-TPU tunnels make block_until_ready unreliable
-        # and large fetches slow).
-        out = model.apply({"params": params, "batch_stats": batch_stats}, images, train=False)
-        return jnp.sum(out.astype(jnp.float32))
+    def bench_loop(params, batch_stats, images, n):
+        # n chained full multi-exit forwards in ONE XLA program: each
+        # iteration's input depends on the previous scalar so nothing can be
+        # elided, and only a single 4-byte scalar is fetched at the end.
+        # (Remote-TPU tunnels make block_until_ready unreliable and per-call
+        # round-trips expensive; this removes both from the measurement.)
+        def body(i, carry):
+            x = images + carry * 1e-12
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            return jnp.sum(out.astype(jnp.float32)) * 1e-9
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     params, stats = variables["params"], variables.get("batch_stats", {})
     images = jnp.asarray(np.random.RandomState(0).rand(batch, img, img, 3), jnp.float32)
 
     # warmup + compile (fetch forces real completion)
-    float(forward_sum(params, stats, images))
-    float(forward_sum(params, stats, images))
+    float(bench_loop(params, stats, images, 1))
 
     t0 = time.perf_counter()
-    v = 0.0
-    for _ in range(iters):
-        v = float(forward_sum(params, stats, images))
+    v = float(bench_loop(params, stats, images, iters))
     dt = time.perf_counter() - t0
     assert np.isfinite(v)
 

@@ -137,6 +137,7 @@ class BranchyDeepLabV3(nn.Module):
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     axis_name: str | None = None
+    remat: bool = False  # rematerialize trunk blocks (full-res training)
 
     def setup(self):
         cfg = self.config
@@ -146,17 +147,18 @@ class BranchyDeepLabV3(nn.Module):
         if cfg.backbone == "mobilenet_v3_large":
             from ee_semantic_segmentation_tpu.models import mobilenetv3 as M
 
-            self.stem = M.MNV3Stem(**common)
-            self.blocks = [
-                M.InvertedResidual(blk, name=f"block_{i}", **common)
-                for i, blk in enumerate(spec.blocks)
-            ]
+            stem_cls, block_cls = M.MNV3Stem, M.InvertedResidual
         else:
-            self.stem = R.ResNetStem(**common)
-            self.blocks = [
-                R.Bottleneck(blk, name=f"block_{i}", **common)
-                for i, blk in enumerate(spec.blocks)
-            ]
+            stem_cls, block_cls = R.ResNetStem, R.Bottleneck
+        if self.remat:
+            # trade FLOPs for HBM: recompute trunk activations in backward
+            # (jax.checkpoint per block) — enables 2048x1024 training configs
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
+        self.stem = stem_cls(**common)
+        self.blocks = [
+            block_cls(blk, name=f"block_{i}", **common)
+            for i, blk in enumerate(spec.blocks)
+        ]
         bp = cfg.branch_params
         use_custom = isinstance(bp, dict) and all(
             k in bp for k in ("nout_channels", "atrous_rates")
@@ -219,7 +221,7 @@ class BranchyDeepLabV3(nn.Module):
         if idx == 0:
             x = self.stem(x, train=train)
         for b in self.blocks[start:end]:
-            x = b(x, train=train)
+            x = b(x, train)  # positional: nn.remat static_argnums needs it
         return x
 
     def run_branch(self, idx: int, x, out_hw, train: bool = False):
