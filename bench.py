@@ -28,7 +28,7 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
     img = 512 if on_tpu else 64  # CPU fallback keeps the script testable
-    batch = 32 if on_tpu else 2
+    batch = 48 if on_tpu else 2
     iters = 10 if on_tpu else 2
 
     model = build_branchy_deeplabv3(
