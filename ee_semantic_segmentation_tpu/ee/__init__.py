@@ -16,3 +16,10 @@ from ee_semantic_segmentation_tpu.ee.batch_eval import (
     br_evaluator_similarity,
 )
 from ee_semantic_segmentation_tpu.ee.sequential import EarlyExitRunner
+from ee_semantic_segmentation_tpu.ee.serving import BatchedEarlyExitServer
+from ee_semantic_segmentation_tpu.ee.generic_eval import (
+    Accumulator,
+    eval_results,
+    eval_branches,
+    repeat_tensor,
+)

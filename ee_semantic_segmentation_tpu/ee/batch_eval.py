@@ -45,13 +45,6 @@ def _per_exit_confusion(stacked_logits, labels, num_classes: int):
     return jax.vmap(one)(stacked_logits)
 
 
-@functools.partial(jax.jit, static_argnames=("num_classes",))
-def _chosen_confusion(pred_maps, labels, num_classes: int):
-    """(N, H, W) chosen label maps -> (3, C) confusion counts."""
-    tp, fp, fn = confusion_counts(pred_maps, labels, num_classes)
-    return jnp.stack([tp.sum(0), fp.sum(0), fn.sum(0)])
-
-
 def mIoU_evaluator(forward_fn, n_exits, n_classes, loader, *, empty_class="nan"):
     """Per-exit dataset mIoU (eval_mIoU.py:15-40 equivalent).
 

@@ -26,7 +26,6 @@ For batched policy evaluation at full throughput use ee/batch_eval.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Sequence
 
 import jax

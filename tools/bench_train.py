@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Training-step throughput: full fused step (fwd + Lovász/CE + bwd + SGD).
+
+Measures the driver config #3/#4 style workload (multi-exit training) on the
+default device, with the same loop-fused single-fetch timing as bench.py.
+
+Usage: python tools/bench_train.py [--img 512] [--batch 16] [--iters 5]
+       [--loss ce|lovasz|both] [--remat]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--loss", choices=["ce", "lovasz", "both"], default="both")
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import build_branchy_deeplabv3
+    from ee_semantic_segmentation_tpu.ops.branchy import LovaszSoftmax
+    from ee_semantic_segmentation_tpu.ops.xentropy import BrXEntropyLoss
+    from ee_semantic_segmentation_tpu.parallel import create_train_state, make_train_step
+    from ee_semantic_segmentation_tpu.train.optim import branchy_lr_multipliers, sgd_momentum
+
+    model = build_branchy_deeplabv3(
+        depth=50, n=2, img_dim=args.img, count_branches=False, dtype=jnp.bfloat16
+    )
+    if args.remat:
+        model = model.replace(remat=True)
+    n_br = model.config.n_branches
+    tx = sgd_momentum(multipliers=branchy_lr_multipliers(n_br, 0.01))
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        jnp.zeros((args.batch, args.img, args.img, 3)),
+    )
+
+    lovasz = LovaszSoftmax(classes="present", ignore=21, n_branches=n_br)
+    xent = BrXEntropyLoss(ignore_index=21, b_reduction="sum", n_exits=n_br + 1)
+    if args.loss == "ce":
+        loss_fn = xent
+    elif args.loss == "lovasz":
+        loss_fn = lovasz
+    else:
+        loss_fn = lambda out, lab: lovasz(out, lab) + 0.1 * xent(out, lab)
+
+    step = make_train_step(model, loss_fn, tx, donate=False)
+
+    rnp = np.random.RandomState(0)
+    images = jnp.asarray(rnp.rand(args.batch, args.img, args.img, 3), jnp.float32)
+    labels_np = rnp.randint(0, 21, (args.batch, args.img, args.img)).astype(np.int32)
+    labels_np[rnp.rand(*labels_np.shape) < 0.03] = 21
+    labels = jnp.asarray(labels_np)
+
+    @jax.jit
+    def bench_loop(state, n):
+        def body(i, carry):
+            st, acc = carry
+            st, m = step(st, images, labels, jnp.float32(0.01))
+            return st, acc + m["loss"] * 1e-9
+        st, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+        return acc
+
+    float(bench_loop(state, 1))  # compile + warm
+    t0 = time.perf_counter()
+    v = float(bench_loop(state, args.iters))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(v)
+    print(
+        json.dumps(
+            {
+                "metric": f"train_{args.img}px_images_per_sec_per_chip",
+                "value": round(args.batch * args.iters / dt, 2),
+                "unit": "images/sec",
+                "loss": args.loss,
+                "remat": args.remat,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
