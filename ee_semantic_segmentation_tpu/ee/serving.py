@@ -135,17 +135,26 @@ class BatchedEarlyExitServer:
         )
         self.total_flops += B * (stage_cost + head_cost)
         ent_np = np.asarray(ent[: len(items)])
-        for j, it in enumerate(items):
-            if k == self.n:
-                self._results[it.uid] = {
-                    "label_map": np.asarray(labels[j]), "n": self.n + 1,
+        if k == self.n:
+            exited = list(range(len(items)))
+        elif k >= self.skip:
+            exited = [j for j in range(len(items)) if ent_np[j] < self.tau]
+        else:
+            exited = []
+        survivors = [j for j in range(len(items)) if j not in set(exited)]
+
+        if exited:
+            # ONE gather + ONE device->host transfer for all exited maps
+            maps = np.asarray(jnp.take(labels, jnp.asarray(exited), axis=0))
+            for row, j in enumerate(exited):
+                self._results[items[j].uid] = {
+                    "label_map": maps[row],
+                    "n": (self.n + 1) if k == self.n else (k + 1),
                 }
-            elif k >= self.skip and ent_np[j] < self.tau:
-                self._results[it.uid] = {
-                    "label_map": np.asarray(labels[j]), "n": k + 1,
-                }
-            else:
-                self._queues[k + 1].append(_Item(it.uid, feats[j]))
+        if survivors:
+            surv = jnp.take(feats, jnp.asarray(survivors), axis=0)
+            for row, j in enumerate(survivors):
+                self._queues[k + 1].append(_Item(items[j].uid, surv[row]))
 
     def _drain(self, full_only: bool = True):
         progressed = True
