@@ -72,10 +72,14 @@ def _class_loss(errors: jnp.ndarray, fg: jnp.ndarray, valid: jnp.ndarray) -> jnp
     fg:     (P,) float foreground indicator (0 on void slots).
     valid:  (P,) float validity indicator.
     """
-    # One descending sort carrying (fg, valid) along.  jax.lax.sort is a
-    # stable multi-operand sort; negate to get descending order.
-    neg_err, fg_s, valid_s = jax.lax.sort((-errors, fg, valid), num_keys=1)
+    # One descending sort; fg/valid are packed into a single carried operand
+    # (fg implies valid, so packed in {0: void, 1: valid bg, 3: valid fg}) to
+    # cut the sort payload.  jax.lax.sort is stable; negate for descending.
+    packed = fg * 2.0 + valid
+    neg_err, packed_s = jax.lax.sort((-errors, packed), num_keys=1)
     errors_sorted = -neg_err
+    fg_s = (packed_s > 2.0).astype(jnp.float32)
+    valid_s = (packed_s > 0.0).astype(jnp.float32)
     grad = lovasz_grad(fg_s, valid_s)
     errors_sorted = jnp.where(valid_s > 0, errors_sorted, 0.0)
     return jnp.dot(errors_sorted, grad)
