@@ -57,34 +57,61 @@ def _entropy_tile_kernel(x_ref, out_ref, acc_ref, *, n_classes: int, n_pixels: i
         out_ref[0, 0] = acc_ref[0, 0] * inv
 
 
+def _entropy_grid_kernel(x_ref, out_ref, acc_ref, *, n_classes: int, n_pixels: int):
+    """Grid: (images, tiles) — tiles iterate fastest, so the SMEM accumulator
+    carries across one image's tiles and resets at t == 0."""
+    t = pl.program_id(1)
+    num_tiles = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[0, 0] = jnp.float32(0.0)
+
+    x = x_ref[0].astype(jnp.float32)  # (TILE_P, LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    class_mask = lane < n_classes
+    x = jnp.where(class_mask, x, jnp.float32(-1e30))
+    m = jnp.max(x, axis=1, keepdims=True)
+    ex = jnp.where(class_mask, jnp.exp(x - m), 0.0)
+    z = jnp.sum(ex, axis=1, keepdims=True)
+    s = jnp.sum(jnp.where(class_mask, ex * (x - m), 0.0), axis=1, keepdims=True)
+    h = jnp.log(z) - s / z
+    row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + t * _TILE_P
+    h = jnp.where(row < n_pixels, h, 0.0)
+    acc_ref[0, 0] += jnp.sum(h)
+
+    @pl.when(t == num_tiles - 1)
+    def _():
+        inv = 1.0 / (jnp.float32(n_pixels) * jnp.log(jnp.float32(n_classes)))
+        out_ref[0, 0] = acc_ref[0, 0] * inv
+
+
 @functools.partial(jax.jit, static_argnames=("n_classes", "interpret"))
 def batched_entropy_pallas(stacked_logits, n_classes: int, interpret: bool = False):
     """(E, N, H, W, C) logits -> (E, N) mean normalized entropy per image.
 
-    Drop-in for ops.gating.batched_norm_entropy (pool='none').  The padded
-    pixel rows are filled with a uniform-distribution surrogate of zero
-    entropy contribution (masked inside the kernel).
+    Drop-in for ops.gating.batched_norm_entropy (pool='none').  One
+    pallas_call with a 2-D (images, tiles) grid — the (E, N) axes are folded
+    into the grid instead of vmapping the kernel per image.
     """
     E, N, H, W, C = stacked_logits.shape
     p = H * W
     p_pad = -(-p // _TILE_P) * _TILE_P
     x = stacked_logits.reshape(E * N, p, C)
     x = jnp.pad(x, ((0, 0), (0, p_pad - p), (0, _LANES - C)))
+    num_tiles = p_pad // _TILE_P
 
-    # n_pixels must be the TRUE pixel count; closure over static p
-    def one(img):
-        p_padded, lanes = img.shape
-        num_tiles = p_padded // _TILE_P
-        return pl.pallas_call(
-            functools.partial(_entropy_tile_kernel, n_classes=n_classes, n_pixels=p),
-            grid=(num_tiles,),
-            in_specs=[
-                pl.BlockSpec((_TILE_P, lanes), lambda t: (t, 0), memory_space=pltpu.VMEM)
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
-            interpret=interpret,
-        )(img)[0, 0]
-
-    return jax.vmap(one)(x).reshape(E, N)
+    out = pl.pallas_call(
+        functools.partial(_entropy_grid_kernel, n_classes=n_classes, n_pixels=p),
+        grid=(E * N, num_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, _TILE_P, _LANES), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i, t: (i, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((E * N, 1), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(x)
+    return out.reshape(E, N)
