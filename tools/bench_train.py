@@ -65,18 +65,15 @@ def main():
     labels_np[rnp.rand(*labels_np.shape) < 0.03] = 21
     labels = jnp.asarray(labels_np)
 
-    @jax.jit
-    def bench_loop(state, n):
-        def body(i, carry):
-            st, acc = carry
-            st, m = step(st, images, labels, jnp.float32(0.01))
-            return st, acc + m["loss"] * 1e-9
-        st, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
-        return acc
-
-    float(bench_loop(state, 1))  # compile + warm
+    # Plain sequential steps with a scalar fetch each (forces completion;
+    # a loop-fused program compiles impractically slowly on remote backends).
+    state, m = step(state, images, labels, jnp.float32(0.01))
+    float(m["loss"])  # compile + warm
     t0 = time.perf_counter()
-    v = float(bench_loop(state, args.iters))
+    v = 0.0
+    for _ in range(args.iters):
+        state, m = step(state, images, labels, jnp.float32(0.01))
+        v = float(m["loss"])
     dt = time.perf_counter() - t0
     assert np.isfinite(v)
     print(
