@@ -99,6 +99,50 @@ def test_ee_dnn_op_ne_cli(ckpt_path, tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_eval_br_sim_cli(ckpt_path, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ee_semantic_segmentation_tpu.cli.eval_br_sim import main
+
+    main(["-M", ckpt_path, "-c", "21", "-D", "32", "32", "-d", "synthetic",
+          "-n", "2", "-m", "mse", "-t", "1e9", "-s", "sim_out", "-b", "4"])
+    import pandas as pd
+
+    df = pd.read_csv("sim_out.csv")
+    # huge mse threshold: every image exits at the first gated position (b2)
+    assert df["b2_count"].iloc[0] == 16 and df["count_out"].iloc[0] == 0
+
+
+@pytest.mark.slow
+def test_ee_dnn_op_cli_similarity(ckpt_path, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ee_semantic_segmentation_tpu.cli.ee_dnn_op import main
+
+    main(["-M", ckpt_path, "-m", "mse", "-t", "1e9", "-s", "32", "32",
+          "-d", "synthetic", "-n", "21"])
+    import glob
+
+    import pandas as pd
+
+    df = pd.read_csv(glob.glob("ee_2_mse_lw_m2_res.csv")[0])
+    assert {"avg_flops", "avg_flops_2", "edge_flops_2", "ig_bk"} <= set(df.columns)
+    # mse gate needs a reference exit: first firing chance is e_2
+    assert df["e_2"].iloc[0] == 16
+
+
+@pytest.mark.slow
+def test_eval_br_images_cli(ckpt_path, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ee_semantic_segmentation_tpu.cli.eval_br_images import main
+
+    main(["-M", ckpt_path, "-c", "21", "-D", "32", "32", "-d", "synthetic",
+          "-n", "2", "-m", "mse", "-t", "1e9", "-s", "img_out", "-b", "4"])
+    import pandas as pd
+
+    df = pd.read_csv("img_out.csv")
+    assert df["b2_count"].iloc[0] == 16
+
+
+@pytest.mark.slow
 def test_eval_image_cli(ckpt_path, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from PIL import Image
