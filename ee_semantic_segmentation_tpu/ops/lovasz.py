@@ -65,24 +65,55 @@ def lovasz_grad(gt_sorted: jnp.ndarray, valid_sorted: jnp.ndarray | None = None)
     return delta * valid_sorted
 
 
+@jax.custom_vjp
 def _class_loss(errors: jnp.ndarray, fg: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Lovász loss for one class over flat pixels, masked fixed-shape.
 
     errors: (P,) raw |fg - pred| with void slots already at ``_NEG_BIG``.
     fg:     (P,) float foreground indicator (0 on void slots).
     valid:  (P,) float validity indicator.
+
+    Custom VJP: d loss / d errors[p] = lovasz_grad[rank(p)] (the Lovász
+    weight vector is treated as constant, exactly like the reference's
+    ``Variable(grad)`` detach, lovaszsoftmax.py:199).  XLA's default
+    sort-VJP materializes that as a random scatter — slow on TPU; here the
+    backward *unsorts with a second sort* keyed on the saved permutation
+    (sorts are fast, scatters are not).
     """
-    # One descending sort; fg/valid are packed into a single carried operand
-    # (fg implies valid, so packed in {0: void, 1: valid bg, 3: valid fg}) to
-    # cut the sort payload.  jax.lax.sort is stable; negate for descending.
+    loss, _ = _class_loss_fwd_impl(errors, fg, valid)
+    return loss
+
+
+def _class_loss_fwd_impl(errors, fg, valid):
+    # fg/valid packed into one carried operand (fg implies valid: {0: void,
+    # 1: valid bg, 3: valid fg}); iota carried for the backward unsort.
+    P = errors.shape[0]
     packed = fg * 2.0 + valid
-    neg_err, packed_s = jax.lax.sort((-errors, packed), num_keys=1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
+    neg_err, packed_s, perm = jax.lax.sort((-errors, packed, iota), num_keys=1)
     errors_sorted = -neg_err
     fg_s = (packed_s > 2.0).astype(jnp.float32)
     valid_s = (packed_s > 0.0).astype(jnp.float32)
     grad = lovasz_grad(fg_s, valid_s)
     errors_sorted = jnp.where(valid_s > 0, errors_sorted, 0.0)
-    return jnp.dot(errors_sorted, grad)
+    loss = jnp.dot(errors_sorted, grad)
+    return loss, (perm, grad * valid_s)
+
+
+def _class_loss_fwd(errors, fg, valid):
+    loss, res = _class_loss_fwd_impl(errors, fg, valid)
+    return loss, res
+
+
+def _class_loss_bwd(res, ct):
+    perm, grad_sorted = res
+    # unsort: ascending sort by original position restores pixel order
+    _, d_err = jax.lax.sort((perm, grad_sorted * ct), num_keys=1)
+    zeros = jnp.zeros_like(d_err)
+    return d_err, zeros, zeros
+
+
+_class_loss.defvjp(_class_loss_fwd, _class_loss_bwd)
 
 
 def lovasz_softmax_flat(
