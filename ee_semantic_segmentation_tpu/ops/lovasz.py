@@ -85,19 +85,17 @@ def _class_loss(errors: jnp.ndarray, fg: jnp.ndarray, valid: jnp.ndarray) -> jnp
 
 
 def _class_loss_fwd_impl(errors, fg, valid):
-    # Single int32 payload: position * 4 + flags (fg implies valid, so flags
-    # in {0: void, 1: valid bg, 3: valid fg}) — one (f32 key, i32 payload)
-    # sort instead of three carried operands.  Safe for P < 2^29 pixels.
+    # fg/valid packed into one f32 operand (fg implies valid: {0: void,
+    # 1: valid bg, 3: valid fg}); iota carried for the backward unsort.
+    # (An int32 position<<2|flags single-payload variant compiled fine on
+    # CPU but hung the TPU compiler — kept to three operands.)
     P = errors.shape[0]
-    flags = (fg * 2.0 + valid).astype(jnp.int32)
+    packed = fg * 2.0 + valid
     iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
-    combined = iota * 4 + flags
-    neg_err, comb_s = jax.lax.sort((-errors, combined), num_keys=1)
+    neg_err, packed_s, perm = jax.lax.sort((-errors, packed, iota), num_keys=1)
     errors_sorted = -neg_err
-    flags_s = jnp.bitwise_and(comb_s, 3)
-    perm = jax.lax.shift_right_logical(comb_s, 2)
-    fg_s = (flags_s == 3).astype(jnp.float32)
-    valid_s = (flags_s > 0).astype(jnp.float32)
+    fg_s = (packed_s > 2.0).astype(jnp.float32)
+    valid_s = (packed_s > 0.0).astype(jnp.float32)
     grad = lovasz_grad(fg_s, valid_s)
     errors_sorted = jnp.where(valid_s > 0, errors_sorted, 0.0)
     loss = jnp.dot(errors_sorted, grad)
