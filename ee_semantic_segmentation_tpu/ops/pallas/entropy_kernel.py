@@ -60,6 +60,7 @@ def _entropy_tile_kernel(x_ref, out_ref, acc_ref, *, n_classes: int, n_pixels: i
 def _entropy_grid_kernel(x_ref, out_ref, acc_ref, *, n_classes: int, n_pixels: int):
     """Grid: (images, tiles) — tiles iterate fastest, so the SMEM accumulator
     carries across one image's tiles and resets at t == 0."""
+    i = pl.program_id(0)
     t = pl.program_id(1)
     num_tiles = pl.num_programs(1)
 
@@ -83,7 +84,7 @@ def _entropy_grid_kernel(x_ref, out_ref, acc_ref, *, n_classes: int, n_pixels: i
     @pl.when(t == num_tiles - 1)
     def _():
         inv = 1.0 / (jnp.float32(n_pixels) * jnp.log(jnp.float32(n_classes)))
-        out_ref[0, 0] = acc_ref[0, 0] * inv
+        out_ref[i, 0] = acc_ref[0, 0] * inv
 
 
 @functools.partial(jax.jit, static_argnames=("n_classes", "interpret"))
@@ -92,7 +93,9 @@ def batched_entropy_pallas(stacked_logits, n_classes: int, interpret: bool = Fal
 
     Drop-in for ops.gating.batched_norm_entropy (pool='none').  One
     pallas_call with a 2-D (images, tiles) grid — the (E, N) axes are folded
-    into the grid instead of vmapping the kernel per image.
+    into the grid instead of vmapping the kernel per image.  The output
+    lives whole in SMEM (TPU lowering requires full-array blocks there);
+    each image writes its row at its last tile.
     """
     E, N, H, W, C = stacked_logits.shape
     p = H * W
@@ -109,7 +112,7 @@ def batched_entropy_pallas(stacked_logits, n_classes: int, interpret: bool = Fal
                 (1, _TILE_P, _LANES), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
             )
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, t: (i, 0), memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((E * N, 1), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
