@@ -186,6 +186,57 @@ def test_branchy_loss_wrapper_modes(golden):
         np.testing.assert_allclose(got, golden[f"wrap/branchy_loss_{mode}"], rtol=1e-4)
 
 
+def test_lovasz_custom_vjp_gradient():
+    """The custom VJP (sort-based unsort backward) must match plain autodiff
+    through the sort; checked against an inline reference in float32 and for
+    flow through the vmapped multi-exit wrapper."""
+    import jax
+    import jax.numpy as jnp
+
+    def plain_flat(probas, labels, valid, C):
+        losses = []
+        present = []
+        for c in range(C):
+            fg = ((labels == c) & valid).astype(jnp.float32)
+            pred = probas[:, c]
+            errors = jnp.where(valid, jnp.abs(fg - pred), -1e30)
+            packed = fg * 2.0 + valid.astype(jnp.float32)
+            neg_err, packed_s = jax.lax.sort((-errors, packed), num_keys=1)
+            es = -neg_err
+            fg_s = (packed_s > 2.0).astype(jnp.float32)
+            vs = (packed_s > 0.0).astype(jnp.float32)
+            gts = jnp.sum(fg_s)
+            inter = gts - jnp.cumsum(fg_s)
+            union = gts + jnp.cumsum(vs - fg_s)
+            jac = 1.0 - jnp.where(union > 0, inter / union, 0.0)
+            delta = jax.lax.stop_gradient(jnp.diff(jac, prepend=0.0) * vs)
+            losses.append(jnp.dot(jnp.where(vs > 0, es, 0.0), delta))
+            present.append(jnp.sum(fg) > 0)
+        losses = jnp.stack(losses)
+        present = jnp.stack(present)
+        n = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
+        return jnp.sum(jnp.where(present, losses, 0.0)) / n
+
+    rng = np.random.RandomState(5)
+    logits = jnp.asarray(rng.randn(120, 4).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, (120,)))
+    valid = jnp.asarray(rng.rand(120) > 0.15)
+
+    from ee_semantic_segmentation_tpu.ops.lovasz import lovasz_softmax_flat
+
+    g_ref = jax.grad(lambda x: plain_flat(x, labels, valid, 4))(logits)
+    g_ours = jax.grad(lambda x: lovasz_softmax_flat(x, labels, valid=valid))(logits)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+
+    # multi-exit wrapper: gradient finite and nonzero
+    stacked = jnp.asarray(rng.randn(2, 1, 6, 7, 4).astype(np.float32))
+    lab2 = jnp.asarray(rng.randint(0, 4, (1, 6, 7)))
+    bl = B.LovaszSoftmax(classes="present", ignore=None, n_branches=1)
+    g = jax.grad(lambda x: bl(x, lab2))(stacked)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+
 def test_lovasz_all_void_is_zero():
     pred = np.random.RandomState(0).randn(1, 4, 4, 3).astype(np.float32)
     labels = np.full((1, 4, 4), 3, np.int64)  # every pixel void
