@@ -15,7 +15,10 @@ from ee_semantic_segmentation_tpu.models.resnet import (
     BlockSpec,
 )
 from ee_semantic_segmentation_tpu.models.branchy_deepv3 import (
+    BranchyConfig,
     BranchyDeepLabV3,
     build_branchy_deeplabv3,
     place_branches,
 )
+from ee_semantic_segmentation_tpu.models.unet import AE, BranchyUNet, UNet
+from ee_semantic_segmentation_tpu.models.mobilenetv3 import mobilenet_v3_block_specs
