@@ -76,13 +76,15 @@ def branchy_lr_multipliers(
     return mult
 
 
-def _scale_by_multipliers(multipliers: dict[str, float]) -> optax.GradientTransformation:
+def _scale_by_multipliers(multipliers: dict[str, float] | None) -> optax.GradientTransformation:
     def init_fn(params):
         return optax.EmptyState()
 
     def update_fn(updates, state, params=None):
+        if multipliers is None:
+            return updates, state
         scaled = jax.tree_util.tree_map_with_path(
-            lambda path, u: u * multipliers[label_params(path)], updates
+            lambda path, u: u * multipliers.get(label_params(path), 1.0), updates
         )
         return scaled, state
 
@@ -95,11 +97,16 @@ def sgd_momentum(
     weight_decay: float = 5e-4,
 ) -> optax.GradientTransformation:
     """Returns a transformation whose output updates must be applied as
-    ``params + lr * updates`` (lr supplied at step time)."""
+    ``params + lr * updates`` (lr supplied at step time).
+
+    The multiplier stage is ALWAYS part of the chain (identity when
+    ``multipliers`` is None) so the optimizer-state tree has the same
+    structure regardless of param-group config — checkpoints restore across
+    differently-configured processes (training saves with group LRs; eval
+    CLIs rebuild a plain optimizer)."""
     parts = [optax.add_decayed_weights(weight_decay)] if weight_decay else []
     if momentum:
         parts.append(optax.trace(decay=momentum, nesterov=False))
-    if multipliers:
-        parts.append(_scale_by_multipliers(multipliers))
+    parts.append(_scale_by_multipliers(multipliers))
     parts.append(optax.scale(-1.0))
     return optax.chain(*parts)
