@@ -31,7 +31,9 @@ def load_model(path: str, dtype=jnp.float32):
     tx = sgd_momentum()
     sample = jnp.zeros((1, cfg.img_dim, cfg.img_dim, 3), jnp.float32)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
-    state, _ = ckpt.load_checkpoint(path, state)
+    # eval only needs model variables — partial restore insulates the eval
+    # CLIs from any optimizer-state structure drift
+    state, _ = ckpt.load_checkpoint(path, state, components=("params", "batch_stats"))
     return model, state
 
 

@@ -33,7 +33,7 @@ def main(argv=None):
 
     from ee_semantic_segmentation_tpu.cli import common
     from ee_semantic_segmentation_tpu.data.loader import DataLoader
-    from ee_semantic_segmentation_tpu.ee.batch_eval import mIoU_evaluator
+    from ee_semantic_segmentation_tpu.ee.batch_eval import mIoU_evaluator_fused
 
     input_dim = tuple(args.dimensions[:2])[0]
     test_set = common.resolve_test_set(args.dataset, input_dim)
@@ -47,7 +47,8 @@ def main(argv=None):
             print(f"Evaluating {net_id}...")
         res["net_id"].append(net_id)
         n_exits = (args.n_branches or model.config.n_branches) + 1
-        vals = mIoU_evaluator(common.forward_fn(model, state), n_exits, args.n_classes, loader)
+        # fused forward+confusion: full-res logits never leave the XLA program
+        vals = mIoU_evaluator_fused(model, state, n_exits, args.n_classes, loader)
         for k, v in vals.items():
             res[k].append(v)
         if args.verbose:

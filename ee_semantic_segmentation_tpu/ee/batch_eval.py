@@ -34,15 +34,60 @@ from ee_semantic_segmentation_tpu.ops.gating import (
 from ee_semantic_segmentation_tpu.ops.metrics import confusion_counts, mIoU
 
 
-@functools.partial(jax.jit, static_argnames=("num_classes",))
-def _per_exit_confusion(stacked_logits, labels, num_classes: int):
-    """(E, N, H, W, C) logits -> (E, 3, C) summed confusion counts."""
+def _per_exit_confusion_impl(stacked_logits, labels, num_classes: int, sample_mask=None):
+    """(E, N, H, W, C) logits -> (E, 3, C) summed confusion counts; optional
+    (N,) sample mask zeroes padded rows."""
 
     def one(logits):
         tp, fp, fn = confusion_counts(logits, labels, num_classes)
+        if sample_mask is not None:
+            m = sample_mask[:, None].astype(jnp.float32)
+            tp, fp, fn = tp * m, fp * m, fn * m
         return jnp.stack([tp.sum(0), fp.sum(0), fn.sum(0)])
 
     return jax.vmap(one)(stacked_logits)
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def _per_exit_confusion(stacked_logits, labels, num_classes: int):
+    return _per_exit_confusion_impl(stacked_logits, labels, num_classes)
+
+
+def make_fused_miou_step(model, params, batch_stats, num_classes: int):
+    """ONE jitted program: multi-exit forward + per-exit confusion counts.
+
+    The (E, N, H, W, C) stacked logits stay internal to the XLA program (the
+    scheduler can retire them right after the confusion reduction) — the
+    program's output is just (E, 3, C), so full-res logits are never written
+    out as a jit result.  ``count`` masks padded trailing rows of the final
+    batch.
+    """
+
+    @jax.jit
+    def step(images, labels, count):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+        mask = jnp.arange(images.shape[0]) < count
+        return _per_exit_confusion_impl(out, labels, num_classes, sample_mask=mask)
+
+    return step
+
+
+def mIoU_evaluator_fused(model, state, n_exits, n_classes, loader, *, empty_class="nan"):
+    """mIoU_evaluator over the fused forward+confusion program."""
+    step = make_fused_miou_step(model, state.params, state.batch_stats, n_classes)
+    accs = [mIoU(n_classes, empty_class=empty_class) for _ in range(n_exits)]
+    for batch in loader:
+        count = int(batch.get("count", len(batch["image"])))
+        conf = np.asarray(
+            step(jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), count)
+        )
+        for i in range(n_exits):
+            accs[i].accumulator += conf[i].astype(np.float64)
+    res = {f"b{i + 1}_mIoU": accs[i].compute() for i in range(n_exits - 1)}
+    res["mIoU"] = accs[-1].compute()
+    return res
 
 
 def mIoU_evaluator(forward_fn, n_exits, n_classes, loader, *, empty_class="nan"):

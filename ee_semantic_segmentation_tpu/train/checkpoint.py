@@ -79,16 +79,45 @@ def save_checkpoint(directory: str, name: str, state, config: BranchyConfig | No
     return path
 
 
-def load_checkpoint(path: str, state):
-    """Restore into a compatible TrainState; returns (state, extra_meta)."""
-    tree = {
+def _tree_restore_partial(path: str, template: dict) -> dict:
+    """Restore only the keys present in ``template`` (Orbax partial restore);
+    msgpack fallback restores full then filters."""
+    if os.path.exists(path + ".msgpack"):
+        from flax import serialization
+
+        with open(path + ".msgpack", "rb") as fh:
+            full = serialization.from_bytes(None, fh.read())
+        return {k: full[k] for k in template}
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    return ckptr.restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(item=template, partial_restore=True),
+    )
+
+
+def load_checkpoint(path: str, state, components: tuple[str, ...] | None = None):
+    """Restore into a compatible TrainState; returns (state, extra_meta).
+
+    ``components`` restricts restoration (e.g. ``("params", "batch_stats")``
+    for evaluation — insulates eval processes from optimizer-state drift);
+    None restores everything.
+    """
+    full_tree = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
         "rng": state.rng,
     }
-    restored = _tree_restore(path, tree)
+    if components is None:
+        restored = _tree_restore(path, full_tree)
+    else:
+        restored = dict(full_tree)
+        restored.update(
+            _tree_restore_partial(path, {k: full_tree[k] for k in components})
+        )
     extra = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as fh:

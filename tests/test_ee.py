@@ -113,6 +113,31 @@ def test_similarity_evaluator():
     assert res["b2_count"] == 6 and res["mIoU_gl"] == pytest.approx(1.0)
 
 
+def test_fused_miou_matches_two_step(tiny_model, tiny_state):
+    """Fused forward+confusion evaluator == forward-then-evaluate path."""
+    from ee_semantic_segmentation_tpu.ee.batch_eval import (
+        mIoU_evaluator,
+        mIoU_evaluator_fused,
+    )
+    from ee_semantic_segmentation_tpu.parallel import make_eval_step
+
+    rng = np.random.RandomState(7)
+    batches = [
+        {"image": rng.rand(4, 32, 32, 3).astype(np.float32),
+         "label": rng.randint(0, 5, (4, 32, 32)), "count": c}
+        for c in (4, 3)  # second batch padded
+    ]
+    fwd = make_eval_step(tiny_model)
+
+    def forward(images):
+        return fwd(tiny_state.params, tiny_state.batch_stats, jnp.asarray(images))
+
+    two_step = mIoU_evaluator(forward, 2, 5, _Batches(batches))
+    fused = mIoU_evaluator_fused(tiny_model, tiny_state, 2, 5, _Batches(batches))
+    for k in two_step:
+        assert fused[k] == pytest.approx(two_step[k], rel=1e-6), k
+
+
 def test_sequential_runner(tiny_model, tiny_state):
     from ee_semantic_segmentation_tpu.ee.sequential import EarlyExitRunner
 

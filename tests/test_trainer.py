@@ -84,3 +84,18 @@ def test_checkpoint_roundtrip_and_resume(setup, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     cfg = ckpt.load_config(path)
     assert cfg == setup["model"].config
+
+    # components-restricted restore (eval path): params land even when the
+    # destination opt_state structure differs from the saved one
+    import optax
+
+    from ee_semantic_segmentation_tpu.parallel import create_train_state
+
+    other_state = create_train_state(
+        setup["model"], optax.sgd(0.1), jax.random.PRNGKey(9), jnp.zeros((8, 32, 32, 3))
+    )
+    partial, _ = ckpt.load_checkpoint(path, other_state, components=("params", "batch_stats"))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(partial.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
