@@ -269,6 +269,19 @@ def train_deepv3(model, num_epochs, kwargs):
     )
     val_loader = kwargs.get("val_loader")
 
+    # failure recovery: pick up our own previous best checkpoint when the
+    # process restarts (opt-in; the reference has no equivalent)
+    start_from = kwargs.get("start_from")
+    if start_from is None and kwargs.get("auto_resume"):
+        candidate = os.path.join(res_dir, net_id)
+        if os.path.exists(candidate + ".json"):
+            start_from = candidate
+            log_msg(
+                f"<< {net_id} progress update >> auto-resuming from {candidate}",
+                use_file, True,
+            )
+    kwargs = dict(kwargs, start_from=start_from)
+
     log_msg(f"--> Started training {net_id}", use_file, True)
     state, tracker, saved = train(
         model, state, step_fn, train_loader, num_epochs,
