@@ -28,6 +28,10 @@ def build_parser():
     p.add_argument("-f", "--fine_tune", type=str, default="")
     p.add_argument("-d", "--dataset", type=str, default="voc_seg",
                    help="voc_seg (default) or synthetic")
+    p.add_argument("-P", "--per_image_loss", action="store_true", default=False,
+                   help="per-image Lovász (2.7x faster grad on TPU: smaller, "
+                        "better-parallelized sorts; reference default is "
+                        "per-batch)")
     p.add_argument("-D", "--input_dim", type=int, default=256)
     p.add_argument("-b", "--batch_size", type=int, default=32)
     return p
@@ -88,7 +92,10 @@ def main(argv=None):
     from ee_semantic_segmentation_tpu.train.trainer import eval_deepv3
     from ee_semantic_segmentation_tpu.utils.logging import log_msg
 
-    loss = LovaszSoftmax(classes="present", ignore=21, n_branches=args.n_branches)
+    loss = LovaszSoftmax(
+        classes="present", ignore=21, n_branches=args.n_branches,
+        per_image=args.per_image_loss,
+    )
     info = make_dts_info(args, loss)
     ret = eval_deepv3(info)
     log_msg(f"Finished training. model is saved @ {ret}", info["use_file"], True)
