@@ -38,7 +38,7 @@ def main(argv=None):
 
     from ee_semantic_segmentation_tpu.cli import common
     from ee_semantic_segmentation_tpu.data.loader import DataLoader
-    from ee_semantic_segmentation_tpu.ee.batch_eval import br_evaluator_entropy
+    from ee_semantic_segmentation_tpu.ee.batch_eval import br_evaluator_entropy_fused
 
     input_dim = tuple(args.dimensions[:2])[0]
     test_set = common.resolve_test_set(args.dataset, input_dim)
@@ -52,8 +52,9 @@ def main(argv=None):
             print(f"Evaluating {net_id}...")
         res["net_id"].append(net_id)
         n_exits = (args.n_branches or model.config.n_branches) + 1
-        vals = br_evaluator_entropy(
-            common.forward_fn(model, state), n_exits, args.n_classes, loader,
+        # fused: forward + gating + bucketed confusion in one XLA program
+        vals = br_evaluator_entropy_fused(
+            model, state, n_exits, args.n_classes, loader,
             args.threshold, metric=args.metric, size=args.pool_size, skip=args.skip,
         )
         for k, v in vals.items():

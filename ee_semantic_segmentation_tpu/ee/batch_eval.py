@@ -201,6 +201,73 @@ def br_evaluator_entropy(
     return _finalize_gated(accs, counts, n_branches, tau, {"pool": metric, "pool_size": size})
 
 
+def br_evaluator_entropy_fused(
+    model, state, n_exits, n_classes, loader, tau, *, metric="ent", size=1, skip=0
+):
+    """br_evaluator_entropy with forward + gating + bucketed confusion in ONE
+    jitted program — stacked logits never leave XLA."""
+    n_branches = n_exits - 1
+    accs = [mIoU(n_classes) for _ in range(n_exits + 1)]
+    counts = np.zeros(n_exits + 1, np.int64)
+    pool_mode = {"ent": "none", "max": "max", "min": "min"}[metric.lower()]
+    params, batch_stats = state.params, state.batch_stats
+
+    @jax.jit
+    def step(images, labels, count):
+        stacked = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+        ent = batched_norm_entropy(stacked[:-1], n_classes, pool_mode, size)
+        fires = ent < tau
+        if skip:
+            fires = fires.at[:skip].set(False)
+        any_fire = jnp.any(fires, axis=0)
+        exit_idx = jnp.where(any_fire, jnp.argmax(fires, axis=0), n_branches)
+        preds = jnp.argmax(stacked, axis=-1)
+        valid = jnp.arange(images.shape[0]) < count
+        # padded rows: route to a bucket then mask via the sample mask
+        bucketed, chosen_conf, _ = _bucketed_confusion_masked(
+            preds, labels, exit_idx, valid, num_classes=n_classes
+        )
+        bucket_counts = jnp.sum(
+            (exit_idx[None, :] == jnp.arange(n_exits)[:, None]) & valid[None, :],
+            axis=1,
+        )
+        return bucketed, chosen_conf, bucket_counts
+
+    for batch in loader:
+        count = int(batch.get("count", len(batch["image"])))
+        bucketed, chosen_conf, bucket_counts = step(
+            jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), count
+        )
+        bucketed = np.asarray(bucketed, np.float64)
+        for e in range(n_exits):
+            accs[e].accumulator += bucketed[e]
+        accs[-1].accumulator += np.asarray(chosen_conf, np.float64)
+        counts[:n_exits] += np.asarray(bucket_counts, np.int64)
+        counts[-1] += count
+
+    return _finalize_gated(accs, counts, n_branches, tau, {"pool": metric, "pool_size": size})
+
+
+def _bucketed_confusion_masked(preds, labels, exit_idx, valid, num_classes: int):
+    """_bucketed_confusion with an additional (N,) validity mask."""
+    E = preds.shape[0]
+    vm = valid.astype(jnp.float32)
+
+    def per_exit(e):
+        tp, fp, fn = confusion_counts(preds[e], labels, num_classes)
+        m = ((exit_idx == e).astype(jnp.float32) * vm)[:, None]
+        return jnp.stack([(tp * m).sum(0), (fp * m).sum(0), (fn * m).sum(0)])
+
+    bucketed = jax.vmap(per_exit)(jnp.arange(E))
+    chosen = jnp.take_along_axis(preds, exit_idx[None, :, None, None], axis=0)[0]
+    tp, fp, fn = confusion_counts(chosen, labels, num_classes)
+    m = vm[:, None]
+    chosen_conf = jnp.stack([(tp * m).sum(0), (fp * m).sum(0), (fn * m).sum(0)])
+    return bucketed, chosen_conf, None
+
+
 def br_evaluator_similarity(
     forward_fn, n_exits, n_classes, loader, metric, tau, *, ignore=(), skip=0,
     image_level: bool = False,

@@ -188,3 +188,32 @@ def test_sequential_flops_match_table(tiny_model, tiny_state):
     assert out["last_flops"] == pytest.approx(
         sum(table["segments"]) + table["branches"][0] + table["branches"][-1]
     )
+
+
+def test_fused_entropy_evaluator_matches(tiny_model, tiny_state):
+    """Fused entropy-gated evaluator == forward-then-evaluate path."""
+    from ee_semantic_segmentation_tpu.ee.batch_eval import (
+        br_evaluator_entropy,
+        br_evaluator_entropy_fused,
+    )
+    from ee_semantic_segmentation_tpu.parallel import make_eval_step
+
+    rng = np.random.RandomState(11)
+    batches = [
+        {"image": rng.rand(4, 32, 32, 3).astype(np.float32),
+         "label": rng.randint(0, 6, (4, 32, 32)), "count": c}
+        for c in (4, 2)
+    ]
+    fwd = make_eval_step(tiny_model)
+
+    def forward(images):
+        return fwd(tiny_state.params, tiny_state.batch_stats, jnp.asarray(images))
+
+    for tau in (0.5, 2.0, -1.0):
+        a = br_evaluator_entropy(forward, 2, 5, _Batches(batches), tau)
+        b = br_evaluator_entropy_fused(tiny_model, tiny_state, 2, 5, _Batches(batches), tau)
+        for k in a:
+            if isinstance(a[k], float) and np.isnan(a[k]):
+                assert np.isnan(b[k]), (tau, k)
+            else:
+                assert b[k] == pytest.approx(a[k], rel=1e-6), (tau, k)
