@@ -53,8 +53,9 @@ def _per_exit_confusion(stacked_logits, labels, num_classes: int):
     return _per_exit_confusion_impl(stacked_logits, labels, num_classes)
 
 
-def make_fused_miou_step(model, params, batch_stats, num_classes: int):
-    """ONE jitted program: multi-exit forward + per-exit confusion counts.
+def make_fused_miou_step_fn(model, num_classes: int):
+    """ONE jitted program: multi-exit forward + per-exit confusion counts,
+    parameterized by variables (for callers whose params change per epoch).
 
     The (E, N, H, W, C) stacked logits stay internal to the XLA program (the
     scheduler can retire them right after the confusion reduction) — the
@@ -64,7 +65,7 @@ def make_fused_miou_step(model, params, batch_stats, num_classes: int):
     """
 
     @jax.jit
-    def step(images, labels, count):
+    def step(params, batch_stats, images, labels, count):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
@@ -74,14 +75,30 @@ def make_fused_miou_step(model, params, batch_stats, num_classes: int):
     return step
 
 
-def mIoU_evaluator_fused(model, state, n_exits, n_classes, loader, *, empty_class="nan"):
-    """mIoU_evaluator over the fused forward+confusion program."""
-    step = make_fused_miou_step(model, state.params, state.batch_stats, n_classes)
+def make_fused_miou_step(model, params, batch_stats, num_classes: int):
+    """Closure form of :func:`make_fused_miou_step_fn` (fixed variables)."""
+    step = make_fused_miou_step_fn(model, num_classes)
+
+    def bound(images, labels, count):
+        return step(params, batch_stats, images, labels, count)
+
+    return bound
+
+
+def mIoU_evaluator_fused(model, state, n_exits, n_classes, loader, *,
+                         empty_class="nan", step=None):
+    """mIoU_evaluator over the fused forward+confusion program.
+
+    ``step``: optionally a prebuilt :func:`make_fused_miou_step_fn` result —
+    pass it when evaluating repeatedly with changing state (per-epoch
+    validation) so the program compiles once."""
+    step = step or make_fused_miou_step_fn(model, n_classes)
     accs = [mIoU(n_classes, empty_class=empty_class) for _ in range(n_exits)]
     for batch in loader:
         count = int(batch.get("count", len(batch["image"])))
         conf = np.asarray(
-            step(jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), count)
+            step(state.params, state.batch_stats,
+                 jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), count)
         )
         for i in range(n_exits):
             accs[i].accumulator += conf[i].astype(np.float64)

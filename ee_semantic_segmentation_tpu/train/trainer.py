@@ -39,7 +39,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ee_semantic_segmentation_tpu.ee.batch_eval import mIoU_evaluator
+from ee_semantic_segmentation_tpu.ee.batch_eval import (
+    make_fused_miou_step_fn,
+    mIoU_evaluator,
+    mIoU_evaluator_fused,
+)
 from ee_semantic_segmentation_tpu.parallel import (
     create_train_state,
     make_eval_step,
@@ -85,6 +89,7 @@ def train(
     name = name or "unspecified"
     mesh = mesh or make_mesh()
     eval_fwd = make_eval_step(model, mesh)
+    fused_val_step = make_fused_miou_step_fn(model, nout_channels)
 
     counter = 0
     last_lr = 0.0
@@ -138,9 +143,11 @@ def train(
         if val_loader is not None:
             for met in metrics:
                 if met == "mIoU":
-                    # 'one' = the reference's intended empty-class guard value
-                    res = mIoU_evaluator(
-                        forward, n_exits, nout_channels, val_loader, empty_class="one"
+                    # fused forward+confusion, compiled once; 'one' = the
+                    # reference's intended empty-class guard value
+                    res = mIoU_evaluator_fused(
+                        model, state, n_exits, nout_channels, val_loader,
+                        empty_class="one", step=fused_val_step,
                     )
                     if branchy:
                         for key, value in res.items():
