@@ -36,7 +36,10 @@ def main(argv=None, image_level: bool = False):
 
     from ee_semantic_segmentation_tpu.cli import common
     from ee_semantic_segmentation_tpu.data.loader import DataLoader
-    from ee_semantic_segmentation_tpu.ee.batch_eval import br_evaluator_similarity
+    from ee_semantic_segmentation_tpu.ee.batch_eval import (
+        br_evaluator_similarity,
+        br_evaluator_similarity_fused,
+    )
 
     input_dim = tuple(args.dimensions[:2])[0]
     test_set = common.resolve_test_set(args.dataset, input_dim)
@@ -50,11 +53,19 @@ def main(argv=None, image_level: bool = False):
             print(f"Evaluating {net_id}...")
         res["net_id"].append(net_id)
         n_exits = (args.n_branches or model.config.n_branches) + 1
-        vals = br_evaluator_similarity(
-            common.forward_fn(model, state), n_exits, args.n_classes, loader,
-            args.metric, args.threshold,
-            ignore=(args.n_classes - 1,), skip=args.skip, image_level=image_level,
-        )
+        if image_level:
+            vals = br_evaluator_similarity(
+                common.forward_fn(model, state), n_exits, args.n_classes, loader,
+                args.metric, args.threshold,
+                ignore=(args.n_classes - 1,), skip=args.skip, image_level=True,
+            )
+        else:
+            # fused: forward + similarity gate + bucketed confusion, one program
+            vals = br_evaluator_similarity_fused(
+                model, state, n_exits, args.n_classes, loader,
+                args.metric, args.threshold,
+                ignore=(args.n_classes - 1,), skip=args.skip,
+            )
         for k, v in vals.items():
             res[k].append(v)
         if args.verbose:

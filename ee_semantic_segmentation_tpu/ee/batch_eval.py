@@ -267,6 +267,56 @@ def br_evaluator_entropy_fused(
     return _finalize_gated(accs, counts, n_branches, tau, {"pool": metric, "pool_size": size})
 
 
+def br_evaluator_similarity_fused(
+    model, state, n_exits, n_classes, loader, metric, tau, *, ignore=(), skip=0
+):
+    """br_evaluator_similarity with forward + gating + bucketed confusion in
+    ONE jitted program (confusion-matrix accumulators only; the img_mIoU
+    variant stays on the two-step path)."""
+    n_branches = n_exits - 1
+    accs = [mIoU(n_classes) for _ in range(n_exits + 1)]
+    counts = np.zeros(n_exits + 1, np.int64)
+    greater = metric.lower() in SIM_GREATER
+    params, batch_stats = state.params, state.batch_stats
+
+    @jax.jit
+    def step(images, labels, count):
+        stacked = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+        preds = jnp.argmax(stacked, axis=-1)
+        sims = batched_similarity(preds, metric, n_classes, ignore)
+        fires = (sims > tau) if greater else (sims < tau)
+        idx = jnp.arange(1, n_branches)
+        mask = idx >= (1 + skip)
+        fires = fires[: n_branches - 1] & mask[:, None]
+        any_fire = jnp.any(fires, axis=0)
+        exit_idx = jnp.where(any_fire, jnp.argmax(fires, axis=0) + 1, n_branches)
+        valid = jnp.arange(images.shape[0]) < count
+        bucketed, chosen_conf, _ = _bucketed_confusion_masked(
+            preds, labels, exit_idx, valid, num_classes=n_classes
+        )
+        bucket_counts = jnp.sum(
+            (exit_idx[None, :] == jnp.arange(n_exits)[:, None]) & valid[None, :],
+            axis=1,
+        )
+        return bucketed, chosen_conf, bucket_counts
+
+    for batch in loader:
+        count = int(batch.get("count", len(batch["image"])))
+        bucketed, chosen_conf, bucket_counts = step(
+            jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), count
+        )
+        bucketed = np.asarray(bucketed, np.float64)
+        for e in range(n_exits):
+            accs[e].accumulator += bucketed[e]
+        accs[-1].accumulator += np.asarray(chosen_conf, np.float64)
+        counts[:n_exits] += np.asarray(bucket_counts, np.int64)
+        counts[-1] += count
+
+    return _finalize_gated(accs, counts, n_branches, tau, {"metric": metric})
+
+
 def _bucketed_confusion_masked(preds, labels, exit_idx, valid, num_classes: int):
     """_bucketed_confusion with an additional (N,) validity mask."""
     E = preds.shape[0]

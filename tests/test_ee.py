@@ -217,3 +217,49 @@ def test_fused_entropy_evaluator_matches(tiny_model, tiny_state):
                 assert np.isnan(b[k]), (tau, k)
             else:
                 assert b[k] == pytest.approx(a[k], rel=1e-6), (tau, k)
+
+
+def test_fused_similarity_evaluator_matches(tiny_model, tiny_state):
+    """Fused similarity-gated evaluator == two-step path (needs >= 2 branch
+    positions, so use a 3-exit hand config sharing tiny shapes)."""
+    from ee_semantic_segmentation_tpu.ee.batch_eval import (
+        br_evaluator_similarity,
+        br_evaluator_similarity_fused,
+    )
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import (
+        BranchyConfig,
+        BranchyDeepLabV3,
+    )
+    from ee_semantic_segmentation_tpu.parallel import create_train_state, make_eval_step
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    import jax
+
+    cfg = BranchyConfig(
+        backbone_depth=50, img_dim=32, n_branches=2, segment_ends=(2, 4),
+        branch_channels=(256, 256), num_classes=5,
+    )
+    model = BranchyDeepLabV3(config=cfg)
+    state = create_train_state(
+        model, sgd_momentum(), jax.random.PRNGKey(1), jnp.zeros((4, 32, 32, 3))
+    )
+    rng = np.random.RandomState(13)
+    batches = [
+        {"image": rng.rand(4, 32, 32, 3).astype(np.float32),
+         "label": rng.randint(0, 5, (4, 32, 32)), "count": c}
+        for c in (4, 3)
+    ]
+    fwd = make_eval_step(model)
+
+    def forward(images):
+        return fwd(state.params, state.batch_stats, jnp.asarray(images))
+
+    for metric, tau in (("mse", 1e9), ("mse", -1.0), ("ssim", 0.0)):
+        a = br_evaluator_similarity(forward, 3, 5, _Batches(batches), metric, tau)
+        b = br_evaluator_similarity_fused(model, state, 3, 5, _Batches(batches), metric, tau)
+        for k in a:
+            va = a[k]
+            if isinstance(va, float) and np.isnan(va):
+                assert np.isnan(b[k]), (metric, tau, k)
+            else:
+                assert b[k] == pytest.approx(va, rel=1e-6), (metric, tau, k)
