@@ -105,3 +105,18 @@ def test_eval_deepv3_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists("mIoU_%d_branches_results.csv" % kwargs["n_branches"])
     msgs = open(tmp_path / "msgs.txt").read()
     assert "Started training" in msgs
+
+
+def test_tools_run_from_any_cwd(tmp_path, monkeypatch):
+    """Tools bootstrap the repo on sys.path regardless of cwd (regression:
+    sweep failed from a scratch dir before the __file__-based insert)."""
+    import subprocess
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    for tool in ("sweep_thresholds.py", "bench_serving.py", "bench_train.py"):
+        out = subprocess.run(
+            [sys.executable, f"/root/repo/tools/{tool}", "--help"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, (tool, out.stderr[-300:])

@@ -15,7 +15,7 @@ import argparse
 import json
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 
 def sweep(model, state, loader, n_classes, metric, taus, *, skip=0):
