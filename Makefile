@@ -1,0 +1,30 @@
+.PHONY: test test-fast bench golden dryrun lint
+
+test:            ## full suite (virtual 8-device CPU mesh; ~15-25 min cold)
+	python -m pytest tests/ -q
+
+test-fast:       ## skip the slow end-to-end CLI runs
+	python -m pytest tests/ -q -m "not slow"
+
+bench:           ## headline 512² images/sec/chip (JSON line)
+	python bench.py
+
+bench-train:     ## training-step throughput
+	python tools/bench_train.py
+
+bench-serving:   ## gated-serving throughput + FLOPs fractions
+	python tools/bench_serving.py
+
+sweep:           ## exit-threshold trade-off curve (needs -M checkpoint args)
+	python tools/sweep_thresholds.py $(ARGS)
+
+golden:          ## regenerate golden values from the reference checkout
+	python tools/gen_golden.py
+
+dryrun:          ## multi-chip sharding dry run on 8 virtual CPU devices
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c \
+	  "import jax; jax.config.update('jax_platforms','cpu'); \
+	   import __graft_entry__ as G; G.dryrun_multichip(8)"
+
+lint:            ## bytecode-compile everything (fast sanity)
+	python -m compileall -q ee_semantic_segmentation_tpu tools tests *.py
