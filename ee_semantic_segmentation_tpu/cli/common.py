@@ -29,7 +29,7 @@ def load_model(path: str, dtype=jnp.float32):
         )
     model = BranchyDeepLabV3(config=cfg, dtype=dtype)
     tx = sgd_momentum()
-    sample = jnp.zeros((1, cfg.img_dim, cfg.img_dim, 3), jnp.float32)
+    sample = jnp.zeros((1, *cfg.img_hw, 3), jnp.float32)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), sample)
     # eval only needs model variables — partial restore insulates the eval
     # CLIs from any optimizer-state structure drift
@@ -45,6 +45,15 @@ def forward_fn(model, state):
         return fwd(state.params, state.batch_stats, jnp.asarray(images))
 
     return f
+
+
+def resolve_dims(dimensions) -> int | tuple[int, int]:
+    """-D values -> square int or (H, W) tuple (the reference's -D takes two
+    values, eval_mIoU.py:46; round 1 silently used only the first)."""
+    dims = [int(d) for d in dimensions]
+    if len(dims) == 1 or dims[0] == dims[1]:
+        return dims[0]
+    return (dims[0], dims[1])
 
 
 def resolve_test_set(dataset: str, input_dim, data_root: str | None = None):

@@ -41,7 +41,7 @@ def main(argv=None, image_level: bool = False):
         br_evaluator_similarity_fused,
     )
 
-    input_dim = tuple(args.dimensions[:2])[0]
+    input_dim = common.resolve_dims(args.dimensions)
     test_set = common.resolve_test_set(args.dataset, input_dim)
     loader = DataLoader(test_set, args.batch_size)
 

@@ -35,7 +35,7 @@ def main(argv=None):
     from ee_semantic_segmentation_tpu.data.loader import DataLoader
     from ee_semantic_segmentation_tpu.ee.batch_eval import mIoU_evaluator_fused
 
-    input_dim = tuple(args.dimensions[:2])[0]
+    input_dim = common.resolve_dims(args.dimensions)
     test_set = common.resolve_test_set(args.dataset, input_dim)
     loader = DataLoader(test_set, args.batch_size)
 

@@ -27,19 +27,33 @@ def build_parser():
     p.add_argument("-s", "--skip", type=int, default=0)
     p.add_argument("-f", "--fine_tune", type=str, default="")
     p.add_argument("-d", "--dataset", type=str, default="voc_seg",
-                   help="voc_seg (default) or synthetic")
-    p.add_argument("-P", "--per_image_loss", action="store_true", default=False,
-                   help="per-image Lovász (2.7x faster grad on TPU: smaller, "
-                        "better-parallelized sorts; reference default is "
-                        "per-batch)")
-    p.add_argument("-D", "--input_dim", type=int, default=256)
+                   help="voc_seg (default), cityscapes, or synthetic")
+    p.add_argument("-P", "--per_image_loss", action="store_true", default=True,
+                   help="per-image Lovász (the TPU default: 2.7x faster grad "
+                        "— smaller, better-parallelized sorts)")
+    p.add_argument("-B", "--batch_loss", action="store_true", default=False,
+                   help="per-batch Lovász (the reference's default, "
+                        "lovaszsoftmax.py:154-169) — slower on TPU; use for "
+                        "exact loss-semantics parity")
+    p.add_argument("-D", "--input_dim", type=int, nargs="+", default=[256],
+                   help="square side, or H W for non-square (e.g. -D 512 1024)")
     p.add_argument("-b", "--batch_size", type=int, default=32)
     return p
 
 
+def resolve_input_dim(dims):
+    """[d] -> d; [h, w] -> (h, w) (square collapses to int)."""
+    if isinstance(dims, int):
+        return dims
+    dims = [int(d) for d in dims]
+    if len(dims) == 1 or dims[0] == dims[1]:
+        return dims[0]
+    return tuple(dims[:2])
+
+
 def make_dts_info(args, loss):
     """Assemble the experiment dict (main_bradeepv3.py:92-134 shape)."""
-    from ee_semantic_segmentation_tpu.data.loader import LoadDataset
+    from ee_semantic_segmentation_tpu.data.loader import LoadDataset, dataset_class_info
 
     dataset = args.dataset
     og_dir = os.getcwd()
@@ -51,7 +65,9 @@ def make_dts_info(args, loss):
     if args.n_branches and not base_lr:
         base_lr = args.lr
 
-    hand = LoadDataset(args.input_dim, None, None)
+    input_dim = resolve_input_dim(args.input_dim)
+    n_classes, _ = dataset_class_info(dataset)
+    hand = LoadDataset(input_dim, None, None)
     train_set, val_set, test_set = hand.get_dataset(data_path, dataset)
 
     use_file = args.print_file or f"{dataset}_deepv3_msgs.txt"
@@ -59,7 +75,7 @@ def make_dts_info(args, loss):
         "name": args.Name,
         "main_dir": og_dir,
         "res_dir": r_dir,
-        "input_dim": args.input_dim,
+        "input_dim": input_dim,
         "train_set": train_set,
         "val_set": val_set,
         "test_set": test_set,
@@ -69,6 +85,7 @@ def make_dts_info(args, loss):
         "n_branches": args.n_branches,
         "count_branches": args.count_branches,
         "depth": 50 if "resnet50" in args.type else 101,
+        "backbone": "mobilenet_v3_large" if "mobilenet" in args.type else "resnet",
         "lr": args.lr,
         "min_lr": args.min_lr,
         "base_lr": base_lr,
@@ -76,7 +93,7 @@ def make_dts_info(args, loss):
         "batch_sizes": args.batch_size,
         "loss": loss,
         "use_scheduler": True,
-        "nout_channels": 21,
+        "nout_channels": n_classes,
         "skip": args.skip,
         "fine_tune": args.fine_tune or None,
         "freeze_backbone": bool(args.fine_tune),
@@ -88,13 +105,15 @@ def make_dts_info(args, loss):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ee_semantic_segmentation_tpu.data.loader import dataset_class_info
     from ee_semantic_segmentation_tpu.ops.branchy import LovaszSoftmax
     from ee_semantic_segmentation_tpu.train.trainer import eval_deepv3
     from ee_semantic_segmentation_tpu.utils.logging import log_msg
 
+    _, void = dataset_class_info(args.dataset)
     loss = LovaszSoftmax(
-        classes="present", ignore=21, n_branches=args.n_branches,
-        per_image=args.per_image_loss,
+        classes="present", ignore=void, n_branches=args.n_branches,
+        per_image=args.per_image_loss and not args.batch_loss,
     )
     info = make_dts_info(args, loss)
     ret = eval_deepv3(info)

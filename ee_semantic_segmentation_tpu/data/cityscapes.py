@@ -94,3 +94,19 @@ def load_cityscapes(root: str, size=(512, 1024)):
         CityscapesSegmentation(root, "train", size, train=True),
         CityscapesSegmentation(root, "val", size, train=False),
     )
+
+
+def load_cityscapes_seg(root: str, input_dim, seed: int = 42):
+    """train/val/test trio mirroring the VOC facade (voc.load_voc_seg).
+
+    Cityscapes' official ``test`` split has no public labels, so — like the
+    reference carves VOC's official val into 40% val / 60% test
+    (/root/reference/get_seg_datasets.py:133-136) — the official ``val``
+    split is carved with the same seeded 40/60 rule."""
+    from ee_semantic_segmentation_tpu.data.voc import Subset, split_val_test
+
+    size = (input_dim, input_dim) if isinstance(input_dim, int) else tuple(input_dim)
+    train = CityscapesSegmentation(root, "train", size, train=True)
+    val_test = CityscapesSegmentation(root, "val", size, train=False)
+    val_idx, test_idx = split_val_test(len(val_test), seed)
+    return train, Subset(val_test, val_idx), Subset(val_test, test_idx)

@@ -111,24 +111,40 @@ class DataLoader:
                 yield fut.result()
 
 
+# dataset name -> (n_classes incl. background, void/ignore label)
+# voc_seg: 21 classes, 255 remapped to void=21 (get_seg_datasets.py:79-86);
+# cityscapes: 19 train ids, everything else void=19 (data/cityscapes.py).
+DATASET_CLASSES = {
+    "voc_seg": (21, 21),
+    "synthetic": (21, 21),
+    "cityscapes": (19, 19),
+}
+
+
+def dataset_class_info(name: str) -> tuple[int, int]:
+    """(num_classes, void_index) for a dataset name; VOC-shaped default."""
+    return DATASET_CLASSES.get(name, (21, 21))
+
+
 class LoadDataset:
     """Reference-facade (get_seg_datasets.py:33-158): dataset dispatch by
     string name; ``voc_seg`` builds the VOC train/val/test trio."""
 
     def __init__(self, input_dim, target_dim=None, batch_size_train=None,
                  batch_size_test=None, seed: int = 42):
+        # int -> square; (H, W) -> non-square (Cityscapes 512x1024 etc.)
         if isinstance(input_dim, (tuple, list)):
-            input_dim = input_dim[0]
-        self.input_dim = int(input_dim)
+            dims = tuple(int(d) for d in input_dim)
+            input_dim = dims[0] if len(dims) == 1 or dims[0] == dims[1] else dims
+        else:
+            input_dim = int(input_dim)
+        self.input_dim = input_dim
         self.target_dim = target_dim
         self.batch_size_train = batch_size_train
         self.batch_size_test = batch_size_test
         self.seed = seed
 
-    def voc_seg(self, root_path):
-        from ee_semantic_segmentation_tpu.data.voc import load_voc_seg
-
-        train, val, test = load_voc_seg(root_path, self.input_dim, self.target_dim, self.seed)
+    def _loaders(self, train, val, test):
         if not self.batch_size_train:
             return train, val, test
         return (
@@ -136,19 +152,24 @@ class LoadDataset:
             DataLoader(val, self.batch_size_test),
             DataLoader(test, self.batch_size_test),
         )
+
+    def voc_seg(self, root_path):
+        from ee_semantic_segmentation_tpu.data.voc import load_voc_seg
+
+        dim = self.input_dim if isinstance(self.input_dim, int) else self.input_dim[0]
+        return self._loaders(*load_voc_seg(root_path, dim, self.target_dim, self.seed))
+
+    def cityscapes(self, root_path):
+        """Cityscapes trio (19 train classes, void=19); driver configs #3/#4."""
+        from ee_semantic_segmentation_tpu.data.cityscapes import load_cityscapes_seg
+
+        return self._loaders(*load_cityscapes_seg(root_path, self.input_dim, self.seed))
 
     def synthetic(self, root_path=None):
         from ee_semantic_segmentation_tpu.data.synthetic import SyntheticSegDataset
 
         mk = lambda seed, n: SyntheticSegDataset(size=self.input_dim, n=n, seed=seed)
-        train, val, test = mk(0, 64), mk(1, 16), mk(2, 16)
-        if not self.batch_size_train:
-            return train, val, test
-        return (
-            DataLoader(train, self.batch_size_train, shuffle=True, seed=self.seed),
-            DataLoader(val, self.batch_size_test),
-            DataLoader(test, self.batch_size_test),
-        )
+        return self._loaders(mk(0, 64), mk(1, 16), mk(2, 16))
 
     def get_dataset(self, root_path, dataset_name):
         fn = getattr(self, dataset_name, None)

@@ -12,9 +12,9 @@ import numpy as np
 
 
 class SyntheticSegDataset:
-    def __init__(self, size: int = 64, n: int = 32, num_classes: int = 21,
+    def __init__(self, size: int | tuple[int, int] = 64, n: int = 32, num_classes: int = 21,
                  void: int | None = 21, void_frac: float = 0.05, seed: int = 0):
-        self.size = size
+        self.size = size  # int (square) or (H, W)
         self.n = n
         self.num_classes = num_classes
         self.void = void
@@ -29,16 +29,17 @@ class SyntheticSegDataset:
     def get(self, idx: int, rng=None):
         r = np.random.RandomState(self.seed * 100003 + idx)
         s = self.size
+        h, w = (s, s) if isinstance(s, int) else s
         k = min(self.num_classes, 5)
         # voronoi labels from k random seed points with random classes
-        pts = r.rand(k, 2) * s
+        pts = r.rand(k, 2) * np.array([h, w])
         cls = r.randint(0, self.num_classes, size=k)
-        yy, xx = np.mgrid[0:s, 0:s]
+        yy, xx = np.mgrid[0:h, 0:w]
         d = (yy[None] - pts[:, 0, None, None]) ** 2 + (xx[None] - pts[:, 1, None, None]) ** 2
         lab = cls[np.argmin(d, axis=0)].astype(np.int32)
-        img = self._colors[lab] + 0.1 * r.randn(s, s, 3).astype(np.float32)
+        img = self._colors[lab] + 0.1 * r.randn(h, w, 3).astype(np.float32)
         if self.void is not None and self.void_frac > 0:
-            mask = r.rand(s, s) < self.void_frac
+            mask = r.rand(h, w) < self.void_frac
             lab = np.where(mask, self.void, lab).astype(np.int32)
         return img.astype(np.float32), lab
 

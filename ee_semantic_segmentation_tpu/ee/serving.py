@@ -57,7 +57,7 @@ class BatchedEarlyExitServer:
         self.n_classes = n_classes
         self.skip = skip
         self.n = model.config.n_branches
-        hw = img_hw or (model.config.img_dim, model.config.img_dim)
+        hw = img_hw or model.config.img_hw
         self.out_hw = hw
 
         table = model.flops_table(hw)

@@ -48,7 +48,7 @@ class BranchyConfig:
     deepv3_funcs.py:186-188)."""
 
     backbone_depth: int
-    img_dim: int
+    img_dim: int | tuple[int, int]  # square side, or (H, W) for non-square
     n_branches: int
     segment_ends: tuple[int, ...]  # block index (exclusive) closing each segment
     branch_channels: tuple[int, ...]  # cin of each branch head
@@ -62,6 +62,11 @@ class BranchyConfig:
     @property
     def n_exits(self) -> int:
         return self.n_branches + 1
+
+    @property
+    def img_hw(self) -> tuple[int, int]:
+        d = self.img_dim
+        return (d, d) if isinstance(d, int) else (int(d[0]), int(d[1]))
 
 
 def backbone_spec(cfg: "BranchyConfig"):
@@ -91,7 +96,7 @@ def _branch_flops_fn(cfg_branch_params, num_classes):
 def place_branches(
     spec: R.BackboneSpec,
     n: int,
-    img_dim: int,
+    img_dim: int | tuple[int, int],
     count_branches: bool = True,
     skip: int = 0,
     branch_params: dict | None = None,
@@ -104,8 +109,9 @@ def place_branches(
     the final segment runs to the end), ``branch_channels[k]`` is the channel
     count feeding branch ``k``.
     """
-    cum = spec.cumulative_flops(img_dim, img_dim)
-    geo = spec.block_geometry(img_dim, img_dim)
+    ih, iw = (img_dim, img_dim) if isinstance(img_dim, int) else img_dim
+    cum = spec.cumulative_flops(ih, iw)
+    geo = spec.block_geometry(ih, iw)
     tot_flops = cum[-1]
     flop_pos = tot_flops / (n + 1)
     bflops = _branch_flops_fn(branch_params, num_classes)
@@ -244,6 +250,21 @@ class BranchyDeepLabV3(nn.Module):
         outputs.append(self.run_classifier(x, out_hw, train=train))
         return jnp.stack(outputs)
 
+    def lowres_logits(self, x, train: bool = False):
+        """Per-exit LOW-RES logits (list of (N, h_k, w_k, C)) — the forward
+        without the bilinear upsamples.  Feeds the fused Pallas
+        upsample+argmax eval head (ops/pallas/upsample_argmax.py), which
+        replaces the (E, N, H, W, C) float32 HBM materialization of the
+        standard eval path."""
+        cfg = self.config
+        outputs = []
+        for i in range(cfg.n_branches):
+            x = self.run_segment(i, x, train=train)
+            outputs.append(self.branches[i](x, train=train))
+        x = self.run_segment(cfg.n_branches, x, train=train)
+        outputs.append(self.classifier(x, train=train))
+        return outputs
+
     # ---------------------------------------------------------------- FLOPs
     def flops_table(self, img_dim: int | tuple[int, int] | None = None):
         """Per-segment / per-branch FLOPs (analytic) — the equivalent of
@@ -294,7 +315,7 @@ class BranchyDeepLabV3(nn.Module):
 def build_branchy_deeplabv3(
     depth: int = 101,
     n: int = 0,
-    img_dim: int = 256,
+    img_dim: int | tuple[int, int] = 256,
     count_branches: bool = True,
     skip: int = 0,
     branch_params: dict | None = None,
@@ -307,6 +328,10 @@ def build_branchy_deeplabv3(
     """Build the model the way the reference's constructor does
     (from_deepv3_new.py:57-97): place branches by FLOPs equipartition, then
     instantiate.  The realized ``n_branches`` may be smaller than requested."""
+    if isinstance(img_dim, (tuple, list)):
+        img_dim = tuple(int(d) for d in img_dim)
+        if img_dim[0] == img_dim[1]:
+            img_dim = img_dim[0]
     probe = BranchyConfig(
         backbone_depth=depth, img_dim=img_dim, n_branches=0, segment_ends=(),
         branch_channels=(), backbone=backbone,

@@ -85,13 +85,65 @@ def _import_deeplab_head(params, stats, sd, torch_prefix, flax_prefix, n_rates=3
     _import_conv(params, sd, f"{torch_prefix}.4", flax_prefix + ("classifier",))
 
 
+def _import_mnv3_block(params, stats, sd, torch_prefix, flax_prefix, blk):
+    """One torchvision MobileNetV3 InvertedResidual (``<i>.block.<j>``
+    Sequential: optional expand Conv2dNormActivation, depthwise, optional
+    SqueezeExcitation(fc1/fc2), project) -> the flax InvertedResidual names.
+    """
+    dot = f"{torch_prefix}." if torch_prefix else ""
+    if blk.is_conv1x1:  # features[16]: Conv2dNormActivation to 960
+        _import_conv(params, sd, f"{dot}0", flax_prefix + ("conv",))
+        _import_bn(params, stats, sd, f"{dot}1", flax_prefix + ("bn",))
+        return
+    tp = f"{dot}block"
+    j = 0
+    if blk.exp != blk.cin:
+        _import_conv(params, sd, f"{tp}.{j}.0", flax_prefix + ("expand",))
+        _import_bn(params, stats, sd, f"{tp}.{j}.1", flax_prefix + ("expand_bn",))
+        j += 1
+    _import_conv(params, sd, f"{tp}.{j}.0", flax_prefix + ("depthwise",))
+    _import_bn(params, stats, sd, f"{tp}.{j}.1", flax_prefix + ("depthwise_bn",))
+    j += 1
+    if blk.use_se:
+        _import_conv(params, sd, f"{tp}.{j}.fc1", flax_prefix + ("se", "fc1"))
+        _import_conv(params, sd, f"{tp}.{j}.fc2", flax_prefix + ("se", "fc2"))
+        j += 1
+    _import_conv(params, sd, f"{tp}.{j}.0", flax_prefix + ("project",))
+    _import_bn(params, stats, sd, f"{tp}.{j}.1", flax_prefix + ("project_bn",))
+
+
+def convert_mnv3_state_dict(sd: Mapping[str, Any], config: BranchyConfig):
+    """torchvision ``deeplabv3_mobilenet_v3_large`` state dict -> partial
+    flax variables (stem = ``backbone.0``, blocks = ``backbone.{1..16}`` via
+    IntermediateLayerGetter string indices, classifier = DeepLabHead)."""
+    from ee_semantic_segmentation_tpu.models.mobilenetv3 import mobilenet_v3_block_specs
+
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    _import_conv(params, sd, "backbone.0.0", ("stem", "conv"))
+    _import_bn(params, stats, sd, "backbone.0.1", ("stem", "bn"))
+
+    spec = mobilenet_v3_block_specs()
+    for i, blk in enumerate(spec.blocks):
+        _import_mnv3_block(params, stats, sd, f"backbone.{i + 1}", (f"block_{i}",), blk)
+
+    if "classifier.0.convs.0.0.weight" in sd:
+        _import_deeplab_head(params, stats, sd, "classifier", ("classifier",))
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_state_dict(sd: Mapping[str, Any], config: BranchyConfig):
     """torchvision deeplabv3 state dict -> partial flax variables.
 
     Returns ``{'params': tree, 'batch_stats': tree}`` covering stem, all
     trunk blocks and the main classifier.  Merge over a freshly initialized
-    variable tree with :func:`merge_variables`.
+    variable tree with :func:`merge_variables`.  Dispatches on the config's
+    backbone (resnet / mobilenet_v3_large, from_deepv3_new.py:41-54).
     """
+    if config.backbone == "mobilenet_v3_large":
+        return convert_mnv3_state_dict(sd, config)
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
     params: dict = {}
     stats: dict = {}

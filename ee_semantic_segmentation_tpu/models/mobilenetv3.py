@@ -164,6 +164,12 @@ def mobilenet_v3_block_specs(dilated: bool = True) -> MNV3BackboneSpec:
     return MNV3BackboneSpec(blocks=tuple(blocks))
 
 
+# torchvision MobileNetV3 uses BatchNorm2d(eps=0.001) everywhere
+# (torchvision/models/mobilenetv3.py norm_layer) — matched for weight-import
+# numeric parity
+BN_EPS = 1e-3
+
+
 class MNV3Stem(nn.Module):
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9
@@ -173,7 +179,7 @@ class MNV3Stem(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(16, (3, 3), strides=2, padding=1, use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=self.bn_momentum,
+            use_running_average=not train, momentum=self.bn_momentum, epsilon=BN_EPS,
             dtype=self.dtype, axis_name=self.axis_name if train else None, name="bn",
         )(x)
         return nn.hard_swish(x)
@@ -206,7 +212,8 @@ class InvertedResidual(nn.Module):
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=self.bn_momentum,
-                dtype=self.dtype, axis_name=self.axis_name if train else None, name=name,
+                epsilon=BN_EPS, dtype=self.dtype,
+                axis_name=self.axis_name if train else None, name=name,
             )
 
         act = nn.hard_swish if s.use_hs else nn.relu

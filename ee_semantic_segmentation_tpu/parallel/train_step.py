@@ -58,7 +58,27 @@ def make_train_step(model, loss_fn: Callable, tx, mesh=None, donate: bool = True
     loss_fn(stacked_logits (E,N,H,W,C) | (N,H,W,C), labels) -> scalar.
     """
 
+    # Commit shardings *inside* the program (with_sharding_constraint) so
+    # correctness does not depend on callers pre-committing via shard_batch:
+    # batch sharded along 'data' (GSPMD inserts the psum gradient all-reduce
+    # through the sharded autodiff), params/opt replicated.  Shapes are static
+    # at trace time, so an uneven batch simply falls back to replication
+    # (correct, with shard_batch's one-time warning) instead of erroring.
+    ds = data_sharding(mesh) if mesh is not None else None
+    rs = replicated_sharding(mesh) if mesh is not None else None
+    n_dev = int(mesh.shape["data"]) if mesh is not None else 0
+
+    def commit_batch(x):
+        if n_dev == 0:
+            return x
+        sh = ds if x.shape[0] % n_dev == 0 else rs
+        return jax.lax.with_sharding_constraint(x, sh)
+
     def step(state: TrainState, images, labels, lr):
+        images = commit_batch(images)
+        labels = commit_batch(labels)
+        if n_dev:
+            state = jax.lax.with_sharding_constraint(state, rs)
         rng = jax.random.fold_in(state.rng, state.step)
 
         def compute_loss(params):
@@ -89,9 +109,18 @@ def make_train_step(model, loss_fn: Callable, tx, mesh=None, donate: bool = True
 
 
 def make_eval_step(model, mesh=None):
-    """Jitted full multi-exit forward in eval mode -> (E, N, H, W, C)."""
+    """Jitted full multi-exit forward in eval mode -> (E, N, H, W, C).
+
+    When a mesh is given, the input batch is committed to the 'data' axis
+    inside the program (uneven batches fall back to replication)."""
+    ds = data_sharding(mesh) if mesh is not None else None
+    rs = replicated_sharding(mesh) if mesh is not None else None
+    n_dev = int(mesh.shape["data"]) if mesh is not None else 0
 
     def fwd(params, batch_stats, images):
+        if n_dev:
+            sh = ds if images.shape[0] % n_dev == 0 else rs
+            images = jax.lax.with_sharding_constraint(images, sh)
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )

@@ -142,4 +142,6 @@ def load_config(path: str) -> BranchyConfig | None:
         return None
     cfg["segment_ends"] = tuple(cfg["segment_ends"])
     cfg["branch_channels"] = tuple(cfg["branch_channels"])
+    if isinstance(cfg.get("img_dim"), list):  # non-square (H, W) round-trips as list
+        cfg["img_dim"] = tuple(cfg["img_dim"])
     return BranchyConfig(**cfg)

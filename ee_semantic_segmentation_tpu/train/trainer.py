@@ -235,7 +235,17 @@ def train_deepv3(model, num_epochs, kwargs):
     metrics = tuple(kwargs.get("metrics", ("mIoU",)))
     n_branches = model.config.n_branches
     batch_size = kwargs.get("batch_sizes", 32)
-    if isinstance(batch_size, list):
+    if isinstance(batch_size, (list, tuple)):
+        # the reference accepts batch_sizes lists but its own multi-size loop
+        # is broken (deepv3_funcs.py:177, SURVEY bug #3); we train one size —
+        # reject ambiguous input instead of silently picking the first
+        if len(set(batch_size)) > 1:
+            raise ValueError(
+                f"multi-batch-size training is not supported (got "
+                f"batch_sizes={list(batch_size)}); the reference's own "
+                "multi-size loop is broken (deepv3_funcs.py:177) — pass a "
+                "single batch size"
+            )
         batch_size = batch_size[0]
     mesh = kwargs.get("mesh") or make_mesh()
 
@@ -259,9 +269,7 @@ def train_deepv3(model, num_epochs, kwargs):
         else:
             scheduler = PolynomialLR(lr, num_epochs, min_lr=min_lr)
 
-    sample = jnp.zeros(
-        (batch_size, model.config.img_dim, model.config.img_dim, 3), jnp.float32
-    )
+    sample = jnp.zeros((batch_size, *model.config.img_hw, 3), jnp.float32)
     rng = jax.random.PRNGKey(kwargs.get("seed", 0))
     state = kwargs.get("state")
     if state is None:
@@ -382,7 +390,7 @@ def eval_deepv3(kwargs):
     if state is None:
         rng = jax.random.PRNGKey(kwargs.get("seed", 0))
         tx = sgd_momentum()
-        sample = jnp.zeros((1, kwargs["input_dim"], kwargs["input_dim"], 3))
+        sample = jnp.zeros((1, *model.config.img_hw, 3))
         state = create_train_state(model, tx, rng, sample, mesh=mesh)
         if fine_tune:
             state, _ = ckpt.load_checkpoint(fine_tune, state)

@@ -120,3 +120,33 @@ def test_tools_run_from_any_cwd(tmp_path, monkeypatch):
             capture_output=True, text=True, timeout=120,
         )
         assert out.returncode == 0, (tool, out.stderr[-300:])
+
+
+@pytest.mark.slow
+def test_mnv3_two_exit_cli_train_and_gated_eval(tmp_path, monkeypatch):
+    """Driver config #2 path: 2-exit MobileNetV3 trains from the CLI
+    (-t mobilenet) and eval_br_ent evaluates its checkpoint (VERDICT #3)."""
+    monkeypatch.chdir(tmp_path)
+    from ee_semantic_segmentation_tpu.cli.main_bradeepv3_ce import main as train_main
+
+    ret = train_main([
+        "-d", "synthetic", "-t", "mobilenet", "-n", "2", "-N", "mnv3_2exit",
+        "-e", "1", "-D", "32", "-b", "8", "-l", "0.05",
+        "-p", str(tmp_path / "msgs.txt"),
+    ])
+    assert ret and os.path.exists(ret + ".json")
+    import json
+
+    cfg = json.load(open(ret + ".json"))["config"]
+    assert cfg["backbone"] == "mobilenet_v3_large"
+    assert cfg["n_branches"] == 2
+
+    from ee_semantic_segmentation_tpu.cli.eval_br_ent import main as eval_main
+
+    eval_main(["-M", ret, "-c", "21", "-D", "32", "32", "-d", "synthetic",
+               "-t", "0.9", "-s", "mnv3_ent", "-b", "4"])
+    import pandas as pd
+
+    df = pd.read_csv("mnv3_ent.csv")
+    assert {"b1_mIoU", "b1_count", "b2_count", "mIoU_gl"} <= set(df.columns)
+    assert df[["b1_count", "b2_count", "count_out"]].iloc[0].sum() == 16

@@ -105,6 +105,146 @@ def test_bottleneck_parity(spec):
     np.testing.assert_allclose(out_nchw, ref, rtol=1e-4, atol=1e-4)
 
 
+def _bn_eps(x, sd, p, eps):
+    return TF.batch_norm(
+        x, sd[f"{p}.running_mean"], sd[f"{p}.running_var"],
+        sd[f"{p}.weight"], sd[f"{p}.bias"], False, 0.0, eps,
+    )
+
+
+def torch_inverted_residual(x, sd, spec):
+    """torchvision InvertedResidual (mobilenetv3.py) with bare functional ops
+    (BN eps=0.001 per torchvision's norm_layer)."""
+    act = TF.hardswish if spec.use_hs else TF.relu
+    y = x
+    j = 0
+    if spec.exp != spec.cin:
+        y = act(_bn_eps(TF.conv2d(y, sd[f"block.{j}.0.weight"]), sd, f"block.{j}.1", 1e-3))
+        j += 1
+    pad = (spec.kernel - 1) // 2 * spec.dilation
+    y = TF.conv2d(y, sd[f"block.{j}.0.weight"], stride=spec.stride,
+                  padding=pad, dilation=spec.dilation, groups=spec.exp)
+    y = act(_bn_eps(y, sd, f"block.{j}.1", 1e-3))
+    j += 1
+    if spec.use_se:
+        s = TF.adaptive_avg_pool2d(y, 1)
+        s = TF.relu(TF.conv2d(s, sd[f"block.{j}.fc1.weight"], sd[f"block.{j}.fc1.bias"]))
+        s = TF.conv2d(s, sd[f"block.{j}.fc2.weight"], sd[f"block.{j}.fc2.bias"])
+        y = y * TF.hardsigmoid(s)
+        j += 1
+    y = _bn_eps(TF.conv2d(y, sd[f"block.{j}.0.weight"]), sd, f"block.{j}.1", 1e-3)
+    if spec.stride == 1 and spec.cin == spec.cout:
+        y = y + x
+    return y
+
+
+def _mnv3_block_shapes(spec):
+    from ee_semantic_segmentation_tpu.models.mobilenetv3 import _make_divisible
+
+    shapes = {}
+    j = 0
+    if spec.exp != spec.cin:
+        shapes[f"block.{j}.0.weight"] = (spec.exp, spec.cin, 1, 1)
+        for s in ("weight", "bias", "running_mean", "running_var"):
+            shapes[f"block.{j}.1.{s}"] = (spec.exp,)
+        j += 1
+    shapes[f"block.{j}.0.weight"] = (spec.exp, 1, spec.kernel, spec.kernel)
+    for s in ("weight", "bias", "running_mean", "running_var"):
+        shapes[f"block.{j}.1.{s}"] = (spec.exp,)
+    j += 1
+    if spec.use_se:
+        sq = _make_divisible(spec.exp // 4)
+        shapes[f"block.{j}.fc1.weight"] = (sq, spec.exp, 1, 1)
+        shapes[f"block.{j}.fc1.bias"] = (sq,)
+        shapes[f"block.{j}.fc2.weight"] = (spec.exp, sq, 1, 1)
+        shapes[f"block.{j}.fc2.bias"] = (spec.exp,)
+        j += 1
+    shapes[f"block.{j}.0.weight"] = (spec.cout, spec.exp, 1, 1)
+    for s in ("weight", "bias", "running_mean", "running_var"):
+        shapes[f"block.{j}.1.{s}"] = (spec.cout,)
+    return shapes
+
+
+def _mnv3_specs_under_test():
+    from ee_semantic_segmentation_tpu.models.mobilenetv3 import MNV3BlockSpec
+
+    return [
+        # expand + SE + hardswish (the features[4]-style shape, downscaled)
+        MNV3BlockSpec("t0", cin=8, exp=24, cout=8, kernel=5, stride=1,
+                      dilation=1, use_se=True, use_hs=True),
+        # no-expand relu block with residual (features[1] shape)
+        MNV3BlockSpec("t1", cin=8, exp=8, cout=8, kernel=3, stride=1,
+                      dilation=1, use_se=False, use_hs=False),
+        # strided, no residual
+        MNV3BlockSpec("t2", cin=8, exp=16, cout=12, kernel=3, stride=2,
+                      dilation=1, use_se=False, use_hs=True),
+        # dilated depthwise (output-stride-16 tail, features[13] shape)
+        MNV3BlockSpec("t3", cin=8, exp=16, cout=8, kernel=5, stride=1,
+                      dilation=2, use_se=True, use_hs=True),
+    ]
+
+
+@pytest.mark.parametrize("spec", _mnv3_specs_under_test(), ids=lambda s: s.name)
+def test_mnv3_inverted_residual_parity(spec):
+    """Flax InvertedResidual with weights imported through
+    _import_mnv3_block matches the torch functional chain (VERDICT #3)."""
+    from ee_semantic_segmentation_tpu.models.mobilenetv3 import InvertedResidual
+
+    sd = _rand_sd(_mnv3_block_shapes(spec), seed=5)
+    x = np.random.RandomState(6).randn(2, spec.cin, 12, 12).astype(np.float32)
+    ref = torch_inverted_residual(torch.from_numpy(x), sd, spec).numpy()
+
+    model = InvertedResidual(spec)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = model.init(jax.random.PRNGKey(0), x_nhwc, train=False)
+    params, stats = {}, {}
+    IT._import_mnv3_block(params, stats, sd, "", (), spec)
+    merged = IT.merge_variables(variables, {"params": params, "batch_stats": stats})
+    out = model.apply(merged, x_nhwc, train=False)
+    out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out_nchw, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_mnv3_full_state_dict_converts_and_merges():
+    """A full torchvision-layout deeplabv3_mobilenet_v3_large state dict
+    (synthesized with correct shapes) converts and overlays onto the flax
+    model without key or shape mismatches."""
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import (
+        BranchyConfig,
+        BranchyDeepLabV3,
+    )
+    from ee_semantic_segmentation_tpu.models.mobilenetv3 import mobilenet_v3_block_specs
+
+    spec = mobilenet_v3_block_specs()
+    shapes = {"backbone.0.0.weight": (16, 3, 3, 3)}
+    for s in ("weight", "bias", "running_mean", "running_var"):
+        shapes[f"backbone.0.1.{s}"] = (16,)
+    for i, blk in enumerate(spec.blocks):
+        if blk.is_conv1x1:
+            shapes[f"backbone.{i + 1}.0.weight"] = (blk.cout, blk.cin, 1, 1)
+            for s in ("weight", "bias", "running_mean", "running_var"):
+                shapes[f"backbone.{i + 1}.1.{s}"] = (blk.cout,)
+        else:
+            for k, v in _mnv3_block_shapes(blk).items():
+                shapes[f"backbone.{i + 1}.{k}"] = v
+    sd = _rand_sd(shapes, seed=7)
+
+    cfg = BranchyConfig(
+        backbone_depth=0, img_dim=64, n_branches=1, segment_ends=(8,),
+        branch_channels=(80,), num_classes=21, backbone="mobilenet_v3_large",
+        branch_params={"nout_channels": 32, "atrous_rates": (2, 4, 6)},
+        classifier_mid=32,
+    )
+    model = BranchyDeepLabV3(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    imported = IT.convert_state_dict(sd, cfg)
+    # every backbone block must be covered by the import
+    assert set(imported["params"]) >= {f"block_{i}" for i in range(len(spec.blocks))}
+    merged = IT.merge_variables(variables, imported)  # raises on any mismatch
+    out = model.apply(merged, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 2, 64, 64, 21)
+
+
 def torch_deeplab_head(x, sd, rates=(2, 4, 6), mid=8, classes=3):
     branches = []
     b = TF.conv2d(x, sd["classifier.0.convs.0.0.weight"])

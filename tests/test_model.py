@@ -102,3 +102,47 @@ def test_config_json_roundtrip(tmp_path, tiny_model):
     back["segment_ends"] = tuple(back["segment_ends"])
     back["branch_channels"] = tuple(back["branch_channels"])
     assert BranchyConfig(**back) == cfg
+
+
+def test_mnv3_branch_placement_equipartition():
+    """FLOPs-equipartition placement on the MNv3 table (VERDICT #3): a
+    2-branch build realizes 2 exits with each segment's cumulative trunk
+    FLOPs crossing its flop_pos*(k+1) threshold."""
+    cfg = BranchyConfig(
+        backbone_depth=0, img_dim=224, n_branches=0, segment_ends=(),
+        branch_channels=(), backbone="mobilenet_v3_large",
+    )
+    spec = backbone_spec(cfg)
+    ends, chans = place_branches(spec, 2, 224, count_branches=False)
+    assert len(ends) == 2 and list(ends) == sorted(ends)
+    cum = spec.cumulative_flops(224, 224)
+    flop_pos = cum[-1] / 3
+    for k, e in enumerate(ends):
+        assert cum[e - 1] > flop_pos * (k + 1)          # crossed its bucket
+        if e >= 2:
+            assert cum[e - 2] <= flop_pos * (k + 1) or k > 0
+    assert all(c == spec.blocks[e - 1].cout for c, e in zip(chans, ends))
+
+
+def test_non_square_placement_and_forward():
+    """(H, W) img_dim flows through placement, the flops table, and the
+    forward shape (non-square training configs, e.g. Cityscapes 512x1024)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import (
+        BranchyDeepLabV3,
+        build_branchy_deeplabv3,
+    )
+
+    model = build_branchy_deeplabv3(
+        depth=0, n=1, img_dim=(32, 64), backbone="mobilenet_v3_large",
+        count_branches=False, num_classes=5, classifier_mid=16,
+        branch_params={"nout_channels": 16, "atrous_rates": (2, 4, 6)},
+    )
+    assert model.config.img_hw == (32, 64)
+    t = model.flops_table()
+    assert all(f > 0 for f in t["cumulative_exits"])
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), train=False)
+    out = model.apply(variables, jnp.zeros((2, 32, 64, 3)), train=False)
+    assert out.shape == (model.config.n_exits, 2, 32, 64, 5)

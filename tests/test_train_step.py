@@ -131,3 +131,111 @@ def test_eval_step_shapes(tiny_setup):
     images = shard_batch(mesh, np.zeros((8, 32, 32, 3), np.float32))
     out = fwd(state.params, state.batch_stats, images)
     assert out.shape == (2, 8, 32, 32, 5)
+
+
+def test_train_step_commits_shardings_without_shard_batch(tiny_setup):
+    """make_train_step honors its mesh: feeding HOST numpy arrays (no
+    shard_batch pre-commit) still batch-shards inside the program and keeps
+    params replicated (VERDICT #8)."""
+    from ee_semantic_segmentation_tpu.ops.xentropy import BrXEntropyLoss
+    from ee_semantic_segmentation_tpu.parallel import (
+        create_train_state,
+        make_mesh,
+        make_train_step,
+        shard_batch,
+    )
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    model = tiny_setup
+    mesh = make_mesh()
+    tx = sgd_momentum()
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((8, 32, 32, 3)), mesh=mesh
+    )
+    loss_obj = BrXEntropyLoss(ignore_index=5, b_reduction="sum", n_exits=2)
+    step = make_train_step(model, loss_obj, tx, mesh=mesh)
+
+    rngnp = np.random.RandomState(1)
+    images = rngnp.rand(8, 32, 32, 3).astype(np.float32)  # raw numpy
+    labels = rngnp.randint(0, 5, (8, 32, 32)).astype(np.int32)
+    new_state, metrics = step(state, images, labels, jnp.float32(0.05))
+    assert np.isfinite(float(metrics["loss"]))
+    assert jax.tree.leaves(new_state.params)[0].sharding.is_fully_replicated
+
+    # identical numerics to the shard_batch pre-committed path
+    state2 = create_train_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((8, 32, 32, 3)), mesh=mesh
+    )
+    b = shard_batch(mesh, {"image": images, "label": labels})
+    _, metrics2 = step(state2, b["image"], b["label"], jnp.float32(0.05))
+    np.testing.assert_allclose(float(metrics["loss"]), float(metrics2["loss"]), rtol=1e-6)
+
+
+def test_uneven_batch_falls_back_to_replication(tiny_setup):
+    """A batch not divisible by the mesh still runs (replicated fallback)."""
+    from ee_semantic_segmentation_tpu.parallel import (
+        create_train_state,
+        make_eval_step,
+        make_mesh,
+    )
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    model = tiny_setup
+    mesh = make_mesh()
+    state = create_train_state(
+        model, sgd_momentum(), jax.random.PRNGKey(1), jnp.zeros((8, 32, 32, 3)), mesh=mesh
+    )
+    fwd = make_eval_step(model, mesh)
+    out = fwd(state.params, state.batch_stats, np.zeros((5, 32, 32, 3), np.float32))
+    assert out.shape == (2, 5, 32, 32, 5)
+
+
+def test_shard_by_process_strided_split(monkeypatch):
+    """DataLoader(shard_by_process=True) gives each process a disjoint
+    strided slice of the SAME global permutation (VERDICT #8)."""
+    from ee_semantic_segmentation_tpu.data.loader import DataLoader
+    from ee_semantic_segmentation_tpu.data.synthetic import SyntheticSegDataset
+
+    ds = SyntheticSegDataset(size=8, n=12, seed=0)
+
+    def indices_for(pid):
+        monkeypatch.setattr(jax, "process_index", lambda: pid)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        dl = DataLoader(ds, batch_size=3, shuffle=True, seed=7, shard_by_process=True)
+        return list(dl._indices())
+
+    i0, i1 = indices_for(0), indices_for(1)
+    assert len(i0) == len(i1) == 6
+    assert set(i0).isdisjoint(i1)
+    assert sorted(i0 + i1) == list(range(12))
+
+
+def test_initialize_multihost_raises_on_bad_coordinator(monkeypatch):
+    """Explicit multi-host args with a failing init must raise, not silently
+    degrade to single-host (VERDICT #8: no swallowed exceptions)."""
+    from ee_semantic_segmentation_tpu.parallel.mesh import initialize_multihost
+
+    def boom(**kw):
+        raise ValueError("cannot reach coordinator at bogus:1234")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(ValueError, match="coordinator"):
+        initialize_multihost(coordinator_address="bogus:1234", num_processes=2, process_id=0)
+
+    # already-initialized RuntimeError is tolerated
+    def already(**kw):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    mesh = initialize_multihost(coordinator_address="x:1", num_processes=1, process_id=0)
+    assert mesh.devices.size >= 1
+
+    # no args + no cluster env: single-host no-op (initialize never called)
+    def never(**kw):
+        raise AssertionError("should not be called")
+
+    monkeypatch.setattr(jax.distributed, "initialize", never)
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "SLURM_JOB_ID"):
+        monkeypatch.delenv(var, raising=False)
+    mesh = initialize_multihost()
+    assert mesh.devices.size >= 1

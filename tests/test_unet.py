@@ -70,3 +70,54 @@ def test_net_consts_registry():
 
     consts = _net_consts()
     assert set(consts) == {"UNet", "EUNet", "AE", "branchy_unet"}
+
+
+def test_ae_train_path_converges():
+    """ae_train (train_funcs.py:37-58 equivalent): loss decreases over 3
+    epochs of reconstruction training on synthetic images (VERDICT #9)."""
+    from ee_semantic_segmentation_tpu.data.loader import DataLoader
+    from ee_semantic_segmentation_tpu.data.synthetic import SyntheticSegDataset
+    from ee_semantic_segmentation_tpu.models.unet import AE
+    from ee_semantic_segmentation_tpu.parallel import create_train_state, make_mesh
+    from ee_semantic_segmentation_tpu.registry import get_loss
+    from ee_semantic_segmentation_tpu.train.ae import ae_train, make_ae_train_step
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    model = AE(widths=(8, 16))
+    mesh = make_mesh()
+    tx = sgd_momentum()
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((8, 16, 16, 3)), mesh=mesh
+    )
+    step = make_ae_train_step(model, get_loss["MSE"](), tx, mesh=mesh)
+    loader = DataLoader(SyntheticSegDataset(size=16, n=16, seed=3), batch_size=8)
+    state, metrics = ae_train(
+        model, state, step, loader, num_epochs=3, mesh=mesh, lr=0.5
+    )
+    assert len(metrics) == 3
+    assert metrics[-1] < metrics[0], metrics
+
+
+def test_ae_denoising_transform():
+    """The optional input transform corrupts the net input while the loss
+    target stays clean (train_funcs.py:46-47 semantics)."""
+    from ee_semantic_segmentation_tpu.models.unet import AE
+    from ee_semantic_segmentation_tpu.parallel import create_train_state, make_mesh
+    from ee_semantic_segmentation_tpu.registry import get_loss
+    from ee_semantic_segmentation_tpu.train.ae import make_ae_train_step
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    model = AE(widths=(8, 16))
+    mesh = make_mesh()
+    tx = sgd_momentum()
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((8, 16, 16, 3)), mesh=mesh
+    )
+
+    def noisy(x, rng):
+        return x + 0.1 * jax.random.normal(rng, x.shape)
+
+    step = make_ae_train_step(model, get_loss["MSE"](), tx, mesh=mesh, transform=noisy)
+    x = np.random.RandomState(0).rand(8, 16, 16, 3).astype(np.float32)
+    state, m = step(state, jnp.asarray(x), jnp.float32(0.1))
+    assert np.isfinite(float(m["loss"]))
