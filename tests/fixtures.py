@@ -67,6 +67,27 @@ def random_logits_absent(seed=7, n=2, c=6, h=4, w=5, void=6, void_frac=0.2, max_
     return logits, labels
 
 
+def binary_logits(seed=11, n=3, h=6, w=7, ignore=2, void_frac=0.2):
+    """Binary hinge/BCE fixture: logits (N, H, W), labels (N, H, W) in
+    {0, 1} with ~void_frac set to ``ignore``."""
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(n, h, w).astype(np.float32) * 2.0
+    labels = rng.randint(0, 2, size=(n, h, w)).astype(np.int64)
+    mask = rng.rand(n, h, w) < void_frac
+    labels[mask] = ignore
+    return logits, labels
+
+
+def label_maps(seed=13, n=3, c=5, h=6, w=7, ignore=5, void_frac=0.15):
+    """Integer prediction/GT label maps for the iou()/iou_binary() helpers."""
+    rng = np.random.RandomState(seed)
+    preds = rng.randint(0, c, size=(n, h, w)).astype(np.int64)
+    labels = rng.randint(0, c, size=(n, h, w)).astype(np.int64)
+    mask = rng.rand(n, h, w) < void_frac
+    labels[mask] = ignore
+    return preds, labels
+
+
 def random_logits_novoid(seed=1, n=2, c=5, h=6, w=7, exits=0):
     logits, labels = random_logits(seed, n, c, h, w, exits, void=c, void_frac=0.0)
     return logits, labels

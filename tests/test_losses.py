@@ -241,3 +241,80 @@ def test_lovasz_all_void_is_zero():
     pred = np.random.RandomState(0).randn(1, 4, 4, 3).astype(np.float32)
     labels = np.full((1, 4, 4), 3, np.int64)  # every pixel void
     assert float(lovasz_softmax(pred, labels, classes="present", ignore=3)) == 0.0
+
+
+# ------------------------------------------------- binary hinge / IoU surface
+def test_lovasz_hinge_golden(golden):
+    from ee_semantic_segmentation_tpu.ops.lovasz import lovasz_hinge
+
+    logits, labels = FX.binary_logits()
+    assert_close(
+        lovasz_hinge(logits, labels, per_image=True, ignore=2),
+        golden["bin/lovasz_hinge_per_image"], rtol=1e-4,
+    )
+    assert_close(
+        lovasz_hinge(logits, labels, per_image=False, ignore=2),
+        golden["bin/lovasz_hinge_flat"], rtol=1e-4,
+    )
+    assert_close(
+        lovasz_hinge(logits, np.clip(labels, 0, 1), per_image=False),
+        golden["bin/lovasz_hinge_no_ignore"], rtol=1e-4,
+    )
+
+
+def test_binary_xloss_golden(golden):
+    from ee_semantic_segmentation_tpu.ops.lovasz import binary_xloss
+
+    logits, labels = FX.binary_logits()
+    assert_close(binary_xloss(logits, labels, ignore=2), golden["bin/binary_xloss"], rtol=1e-5)
+
+
+def test_iou_helpers_golden(golden):
+    from ee_semantic_segmentation_tpu.ops.lovasz import iou, iou_binary
+
+    preds, labels = FX.label_maps()
+    bin_preds = (preds == 1).astype(np.int64)
+    bin_labels = np.where(labels == 5, 5, (labels == 1).astype(np.int64))
+    assert_close(
+        iou_binary(bin_preds, bin_labels, ignore=5, per_image=True),
+        golden["bin/iou_binary_per_image"], rtol=1e-6,
+    )
+    assert_close(
+        iou(preds, labels, C=5, ignore=5, per_image=False),
+        golden["bin/iou_per_class"], rtol=1e-5,
+    )
+    assert_close(
+        iou(preds, labels, C=5, ignore=5, per_image=True),
+        golden["bin/iou_per_class_per_image"], rtol=1e-5,
+    )
+
+
+def test_lovasz_hinge_gradient_flows():
+    """Hinge custom VJP: gradient is finite, zero on void slots, and matches
+    finite differences on a tiny case."""
+    import jax
+    import jax.numpy as jnp
+
+    from ee_semantic_segmentation_tpu.ops.lovasz import lovasz_hinge
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 4, 5).astype(np.float32))
+    labels = rng.randint(0, 2, (2, 4, 5)).astype(np.int64)
+    labels[0, 0, :2] = 9  # void
+    fn = lambda x: lovasz_hinge(x, labels, per_image=False, ignore=9)
+    g = jax.grad(fn)(logits)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.all(np.asarray(g)[0, 0, :2] == 0.0)
+    # directional finite difference
+    d = jnp.asarray(rng.randn(*logits.shape).astype(np.float32))
+    eps = 1e-3
+    fd = (fn(logits + eps * d) - fn(logits - eps * d)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g, d)), float(fd), rtol=2e-2, atol=1e-3)
+
+
+def test_lovasz_hinge_all_void_is_zero():
+    from ee_semantic_segmentation_tpu.ops.lovasz import lovasz_hinge
+
+    logits = np.random.RandomState(1).randn(1, 3, 3).astype(np.float32)
+    labels = np.full((1, 3, 3), 7, np.int64)
+    assert float(lovasz_hinge(logits, labels, per_image=False, ignore=7)) == 0.0

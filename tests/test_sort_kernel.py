@@ -1,0 +1,77 @@
+"""VMEM-resident bitonic sort kernel (ops/pallas/sort_kernel.py) and its
+Lovász integration (VERDICT #4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import (
+    bitonic_sort_2d,
+    sort_pallas,
+    sortable,
+)
+
+
+def test_sortable():
+    assert sortable(1024) and sortable(65536) and sortable(262144)
+    assert not sortable(512) and not sortable(1536) and not sortable(1000)
+
+
+@pytest.mark.parametrize("R", [8, 32])
+def test_bitonic_body_matches_np_sort(R):
+    rng = np.random.RandomState(R)
+    k = jnp.asarray(rng.randn(R, 128).astype(np.float32))
+    p = jnp.asarray(rng.randn(R, 128).astype(np.float32))
+    ks, ps = bitonic_sort_2d(k, p)
+    kf, pf = np.asarray(ks).reshape(-1), np.asarray(ps).reshape(-1)
+    np.testing.assert_array_equal(kf, np.sort(np.asarray(k).reshape(-1)))
+    order = np.argsort(np.asarray(k).reshape(-1), kind="stable")
+    np.testing.assert_allclose(pf, np.asarray(p).reshape(-1)[order])
+
+
+def test_sort_pallas_batched_and_int_keys():
+    rng = np.random.RandomState(0)
+    B, P = 3, 1024
+    k = jnp.asarray(rng.randn(B, P).astype(np.float32))
+    p = jnp.asarray(rng.rand(B, P).astype(np.float32))
+    ks, ps = sort_pallas(k, p)
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(ks)[b], np.sort(np.asarray(k)[b]))
+        order = np.argsort(np.asarray(k)[b], kind="stable")
+        np.testing.assert_allclose(np.asarray(ps)[b], np.asarray(p)[b][order])
+
+    # int32 keys (the backward unsort: keys are a permutation)
+    perm = np.stack([rng.permutation(P) for _ in range(B)]).astype(np.int32)
+    grad = rng.randn(B, P).astype(np.float32)
+    ks, ps = sort_pallas(jnp.asarray(perm), jnp.asarray(grad))
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(ks)[b], np.arange(P))
+        np.testing.assert_allclose(np.asarray(ps)[b], grad[b][np.argsort(perm[b])])
+
+
+def test_lovasz_pallas_sort_matches_xla(monkeypatch):
+    """lovasz_softmax value AND gradient agree between the XLA and Pallas
+    sort backends on a power-of-two image (32x32 -> P=1024)."""
+    from ee_semantic_segmentation_tpu.ops import lovasz as L
+
+    rng = np.random.RandomState(2)
+    logits = jnp.asarray(rng.randn(2, 32, 32, 4).astype(np.float32))
+    labels_np = rng.randint(0, 4, (2, 32, 32)).astype(np.int64)
+    labels_np[rng.rand(2, 32, 32) < 0.1] = 4  # void
+    labels = jnp.asarray(labels_np)
+
+    def run():
+        fn = lambda x: L.lovasz_softmax(
+            x, labels, classes="present", per_image=True, ignore=4
+        )
+        return float(fn(logits)), np.asarray(jax.grad(fn)(logits))
+
+    monkeypatch.setenv("EE_TPU_LOVASZ_SORT", "xla")
+    v_x, g_x = run()
+    monkeypatch.setenv("EE_TPU_LOVASZ_SORT", "pallas")
+    v_p, g_p = run()
+    assert v_x == pytest.approx(v_p, rel=1e-6)
+    np.testing.assert_allclose(g_x, g_p, rtol=1e-5, atol=1e-7)

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--loss", choices=["ce", "lovasz", "both"], default="both")
+    ap.add_argument("--per_image", action="store_true",
+                    help="per-image Lovász (the TPU-default train CLI path)")
     ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
@@ -48,7 +50,8 @@ def main():
         jnp.zeros((args.batch, args.img, args.img, 3)),
     )
 
-    lovasz = LovaszSoftmax(classes="present", ignore=21, n_branches=n_br)
+    lovasz = LovaszSoftmax(classes="present", ignore=21, n_branches=n_br,
+                           per_image=args.per_image)
     xent = BrXEntropyLoss(ignore_index=21, b_reduction="sum", n_exits=n_br + 1)
     if args.loss == "ce":
         loss_fn = xent

@@ -26,7 +26,13 @@ import branchy_seg_losses as ref_branchy
 import my_pixelwise_xentropy as ref_xent
 import seg_metrics as ref_sm
 import compute_mIoU as ref_miou
-from lovaszsoftmax import lovasz_softmax as ref_lovasz
+from lovaszsoftmax import (
+    binary_xloss as ref_binary_xloss,
+    iou as ref_iou,
+    iou_binary as ref_iou_binary,
+    lovasz_hinge as ref_lovasz_hinge,
+    lovasz_softmax as ref_lovasz,
+)
 
 OUT = os.path.join(os.path.dirname(__file__), "../tests/golden/reference_values.json")
 
@@ -111,6 +117,26 @@ def main():
     g["absent/lovasz_all_ignore"] = f(ref_lovasz(ap, at, classes="all", ignore=6))
     g["absent/lovasz_list"] = f(ref_lovasz(ap, at, classes=[0, 1, 2], ignore=6))
 
+    # ---- binary hinge / BCE / IoU helpers (lovaszsoftmax.py:34-148) --------
+    blogits, blabels = FX.binary_logits()
+    bp, bt = t(blogits), t(blabels)
+    g["bin/lovasz_hinge_per_image"] = f(ref_lovasz_hinge(bp, bt, per_image=True, ignore=2))
+    g["bin/lovasz_hinge_flat"] = f(ref_lovasz_hinge(bp, bt, per_image=False, ignore=2))
+    g["bin/lovasz_hinge_no_ignore"] = f(
+        ref_lovasz_hinge(bp, bt.clamp(max=1), per_image=False)
+    )
+    g["bin/binary_xloss"] = f(ref_binary_xloss(bp, bt, ignore=2))
+    mp, mt = FX.label_maps()
+    g["bin/iou_binary_per_image"] = f(
+        ref_iou_binary((mp == 1).astype("int64"), (mt == 1).astype("int64") * (mt != 5) + 5 * (mt == 5), ignore=5, per_image=True)
+    )
+    g["bin/iou_per_class"] = [
+        float(v) for v in ref_iou(t(mp), t(mt), C=5, ignore=5, per_image=False)
+    ]
+    g["bin/iou_per_class_per_image"] = [
+        float(v) for v in ref_iou(t(mp), t(mt), C=5, ignore=5, per_image=True)
+    ]
+
     # ---- multi-exit stacks -------------------------------------------------
     logits_e, labels_e = FX.random_logits(seed=3, exits=4, n=2, c=21, h=8, w=9)
     ep, et = t(logits_e), t(labels_e)
@@ -162,7 +188,8 @@ def main():
         json.dump(g, fh, indent=2, sort_keys=True)
     print(f"wrote {len(g)} golden values to {OUT}")
     for k in sorted(g):
-        print(f"  {k:40s} {g[k]:.8g}")
+        v = g[k]
+        print(f"  {k:40s} {v if isinstance(v, list) else format(v, '.8g')}")
 
 
 if __name__ == "__main__":
