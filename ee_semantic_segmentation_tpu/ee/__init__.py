@@ -7,6 +7,11 @@
 * ``sequential`` — the true segment-at-a-time engine (ee_dnn_op /
   ee_dnn_op_ne equivalents) that actually *stops* computing at the chosen
   exit and prices each exit with the analytic FLOPs table.
+* ``masked`` — the whole gated policy as ONE jitted program: exits tracked
+  by a fixed-shape alive mask, segments skipped at run time via lax.cond,
+  many micro-batches per dispatch via lax.scan.
+* ``serving`` — host-side queue/compaction pipeline for streaming serving
+  (row-granular savings across micro-batches).
 * ``images`` — palette-PNG qualitative dumps per exit (eval_image).
 """
 
@@ -17,6 +22,11 @@ from ee_semantic_segmentation_tpu.ee.batch_eval import (
 )
 from ee_semantic_segmentation_tpu.ee.sequential import EarlyExitRunner
 from ee_semantic_segmentation_tpu.ee.serving import BatchedEarlyExitServer
+from ee_semantic_segmentation_tpu.ee.masked import (
+    make_masked_gated_apply,
+    make_masked_gated_scan,
+    gated_flops_per_image,
+)
 from ee_semantic_segmentation_tpu.ee.generic_eval import (
     Accumulator,
     eval_results,

@@ -1,0 +1,186 @@
+"""On-device masked gated inference: the whole early-exit policy as ONE
+jitted XLA program.
+
+The reference's sequential engine (/root/reference/ee_dnn_op_ne.py:51-108)
+decides per image, per segment, on the host — every decision is a
+device->host sync.  ee/sequential.py reduced that to one scalar fetch per
+stage, but through a tunnel with ~30 ms RTT per call even that dominates.
+This engine moves the *entire* gated forward — every segment, branch head,
+entropy gate and exit decision — inside a single jitted program:
+
+* exit decisions are a fixed-shape boolean ``alive`` vector (one lane per
+  image) — no dynamic shapes ever reach XLA;
+* segment ``k`` (and its branch head) runs under ``lax.cond(any(alive))``:
+  XLA compiles a true conditional, so once every image in the micro-batch
+  has exited, the remaining (most expensive) trunk segments genuinely do
+  not execute — gated FLOPs savings become wall-clock, not bookkeeping;
+* a ``lax.scan`` wrapper runs many micro-batches in one device call
+  (one dispatch + one small result fetch for a whole dataset), so tunnel
+  RTT amortizes to ~zero.
+
+Row-level (per-image) savings inside a partially-alive micro-batch are
+impossible at fixed shape — that granularity is the queue-compaction
+serving engine's job (ee/serving.py).  Here the knob is the micro-batch
+size: smaller B -> finer-grained skipping, larger B -> better MXU
+utilization on the segments that do run.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ee_semantic_segmentation_tpu.ops.gating import norm_entropy
+
+
+def make_masked_gated_apply(
+    model,
+    variables,
+    *,
+    tau: float,
+    n_classes: int = 21,
+    skip: int = 0,
+    pool: str = "none",
+    pool_size: int = 1,
+):
+    """Build ``fn(x) -> (labels, exit_idx)`` — the full entropy-gated
+    early-exit forward (ee_dnn_op_ne.py:51-108 semantics) as one program.
+
+    x: (N, H, W, C) preprocessed images (a micro-batch).
+    labels: (N, H, W) int32 argmax map of each image's chosen exit.
+    exit_idx: (N,) int32 — 1-based exit index (n+1 = final classifier),
+    matching the reference's ``n`` output column.
+
+    Images that pass branch ``k``'s gate (mean normalized entropy < tau,
+    k >= skip) freeze their output; once *all* images have exited, later
+    segments are skipped at run time via ``lax.cond``.
+    """
+    return jax.jit(_gated_forward_fn(
+        model, variables, tau=tau, n_classes=n_classes, skip=skip,
+        pool=pool, pool_size=pool_size,
+    ))
+
+
+def _gated_forward_fn(model, variables, *, tau, n_classes, skip, pool, pool_size):
+    n = model.config.n_branches
+
+    def gated_forward(x):
+        N, H, W = x.shape[0], x.shape[1], x.shape[2]
+        out_hw = (H, W)
+        alive = jnp.ones((N,), bool)
+        labels = jnp.zeros((N, H, W), jnp.int32)
+        exit_idx = jnp.full((N,), n + 1, jnp.int32)
+
+        def seg(k, feats):
+            return model.apply(
+                variables, feats, train=False,
+                method=lambda m, f, train: m.run_segment(k, f, train=train),
+            )
+
+        def branch(k, feats):
+            return model.apply(
+                variables, feats, out_hw, train=False,
+                method=lambda m, f, o, train: m.run_branch(k, f, o, train=train),
+            )
+
+        def classifier(feats):
+            return model.apply(
+                variables, feats, out_hw, train=False,
+                method=lambda m, f, o, train: m.run_classifier(f, o, train=train),
+            )
+
+        feats = x
+        for k in range(n):
+            gated = k >= skip
+
+            def stage(f, k=k, gated=gated):
+                f2 = seg(k, f)
+                if not gated:
+                    return f2, jnp.zeros((N, H, W), jnp.int32), jnp.full(
+                        (N,), jnp.inf, jnp.float32
+                    )
+                logits = branch(k, f2)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                ent = jax.vmap(
+                    lambda p: norm_entropy(p, n_classes, pool, pool_size)
+                )(probs)
+                lab = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return f2, lab, ent
+
+            def dead(f, k=k):
+                shp = jax.eval_shape(lambda ff: seg(k, ff), f)
+                return (
+                    jnp.zeros(shp.shape, shp.dtype),
+                    jnp.zeros((N, H, W), jnp.int32),
+                    jnp.full((N,), jnp.inf, jnp.float32),
+                )
+
+            feats, lab_k, ent_k = jax.lax.cond(jnp.any(alive), stage, dead, feats)
+            fired = alive & (ent_k < tau)
+            labels = jnp.where(fired[:, None, None], lab_k, labels)
+            exit_idx = jnp.where(fired, jnp.int32(k + 1), exit_idx)
+            alive = alive & ~fired
+
+        # final segment + classifier only for still-alive rows
+        def last(f):
+            f2 = seg(n, f)
+            return jnp.argmax(classifier(f2), axis=-1).astype(jnp.int32)
+
+        lab_last = jax.lax.cond(
+            jnp.any(alive), last, lambda f: jnp.zeros((N, H, W), jnp.int32), feats
+        )
+        labels = jnp.where(alive[:, None, None], lab_last, labels)
+        return labels, exit_idx
+
+    return gated_forward
+
+
+def make_masked_gated_scan(model, variables, **kw):
+    """Build ``fn(xs) -> (labels, exit_idx)`` over stacked micro-batches.
+
+    xs: (S, B, H, W, C) — S micro-batches of B images.  The gated program
+    runs under ``lax.scan``, so the whole dataset is ONE device dispatch;
+    per-micro-batch ``lax.cond`` skipping still applies inside each step.
+    Returns (S, B, H, W) labels and (S, B) exit indices.
+    """
+    kw.setdefault("n_classes", 21)
+    kw.setdefault("skip", 0)
+    kw.setdefault("pool", "none")
+    kw.setdefault("pool_size", 1)
+    body = _gated_forward_fn(model, variables, **kw)
+
+    def run(xs):
+        def step(carry, x):
+            return carry, body(x)
+
+        _, (labels, exits) = jax.lax.scan(step, 0, xs)
+        return labels, exits
+
+    return jax.jit(run)
+
+
+def gated_flops_per_image(model, exit_counts, skip: int = 0, img_dim=None):
+    """Average realized FLOPs/image given per-exit counts (1-based index ->
+    count), priced by the analytic table — the reference's ``avg_flops``
+    CSV column (ee_dnn_op_ne.py:194-206), but for the masked engine the
+    numbers correspond to actual skipped compute at micro-batch granularity.
+    """
+    table = model.flops_table(img_dim)
+    seg, br = table["segments"], table["branches"]
+    n = model.config.n_branches
+    total = 0.0
+    count = 0
+    for e, c in exit_counts.items():
+        e = int(e)
+        # trunk through segment e-1 (exit e means branch e fired after
+        # segment e; final exit n+1 pays every segment + classifier)
+        n_segs = min(e, n + 1)
+        cost = sum(seg[:n_segs])
+        # every gated branch head up to the firing one runs
+        for k in range(skip, min(e, n)):
+            cost += br[k]
+        if e == n + 1:
+            cost += br[-1]
+        total += cost * c
+        count += c
+    return total / max(count, 1)
