@@ -75,6 +75,34 @@ def make_fused_miou_step_fn(model, num_classes: int):
     return step
 
 
+def make_pallas_miou_step_fn(model, num_classes: int, interpret: bool | None = None):
+    """make_fused_miou_step_fn with the Pallas upsample+argmax eval head.
+
+    Same program shape (forward + per-exit confusion -> (E, 3, C)), but each
+    exit's bilinear upsample + argmax is the fused VMEM kernel
+    (ops/pallas/upsample_argmax.py) — the upsampled float32 logits never
+    touch HBM; only (N, H, W) int32 label maps do."""
+    from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import upsample_argmax
+
+    @jax.jit
+    def step(params, batch_stats, images, labels, count):
+        out_hw = (images.shape[1], images.shape[2])
+        lowres = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False,
+            method=type(model).lowres_logits,
+        )
+        mask = (jnp.arange(images.shape[0]) < count).astype(jnp.float32)[:, None]
+
+        def conf(logits):
+            maps = upsample_argmax(logits, out_hw, interpret=interpret)
+            tp, fp, fn = confusion_counts(maps, labels, num_classes)
+            return jnp.stack([(tp * mask).sum(0), (fp * mask).sum(0), (fn * mask).sum(0)])
+
+        return jnp.stack([conf(l) for l in lowres])
+
+    return step
+
+
 def make_fused_miou_step(model, params, batch_stats, num_classes: int):
     """Closure form of :func:`make_fused_miou_step_fn` (fixed variables)."""
     step = make_fused_miou_step_fn(model, num_classes)

@@ -9,6 +9,9 @@ the ops where XLA materializes large intermediates in HBM:
 * ``confusion_kernel`` — fused argmax + per-class TP/FP/FN accumulation:
   streams pixel tiles and keeps the (3, C) counts in VMEM, instead of
   materializing two (P, C) one-hot matrices.
+* ``upsample_argmax`` — fused bilinear-upsample (as two exact weight-matrix
+  matmuls per class) + argmax: writes (N, H, W) int32 label maps without
+  ever materializing the upsampled (N, H, W, C) float32 logits.
 
 Each kernel has a reference jnp implementation it is tested against
 (``interpret=True`` on CPU; compiled on TPU).
@@ -19,4 +22,7 @@ from ee_semantic_segmentation_tpu.ops.pallas.entropy_kernel import (
 )
 from ee_semantic_segmentation_tpu.ops.pallas.confusion_kernel import (
     confusion_pallas,
+)
+from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
+    upsample_argmax,
 )

@@ -1,0 +1,119 @@
+"""Fused bilinear-upsample + argmax Pallas kernel (the eval head).
+
+The eval paths (eval_mIoU.py:15-40 workload) upsample every exit's low-res
+logits to input resolution and immediately argmax them.  On the XLA path the
+upsampled (E, N, H, W, C) float32 tensor materializes in HBM — at 512²/21
+classes/3 exits/batch 16 that is ~1 GB of HBM write+read per batch, by far
+the largest tensor in the program, feeding a reduction that only needs the
+argmax.  This kernel computes the upsample as two small matmuls per class
+per output tile entirely in VMEM and writes only the (N, H, W) int32 label
+map (an 84x smaller HBM write).
+
+Math: bilinear resize is separable and linear, so it IS a pair of weight
+matrices — ``up_c = Wh @ X_c @ Ww^T`` for every class plane c.  The exact
+matrices (edge normalization included) match jax.image.resize's
+``compute_weight_mat`` for upsampling (verified against resize-of-identity
+in tests), so the kernel reproduces the jnp path's semantics by
+construction (float association aside).
+
+Layout: X is pre-transposed to (C, h, w) so each class plane is a clean 2-D
+VMEM tile; the argmax is a running (value, index) max across the C unrolled
+class matmuls (first-max tie-breaking, like jnp.argmax).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.lru_cache(maxsize=64)
+def _resize_matrix_np(n_in: int, n_out: int) -> np.ndarray:
+    """Exact 1-D bilinear upsampling weight matrix (n_out, n_in).
+
+    Replicates jax.image.resize(method='bilinear') for n_out >= n_in
+    (no antialias in the upsampling regime): half-pixel sample centers,
+    triangle kernel, out-of-range taps dropped and rows renormalized.
+    """
+    assert n_out >= n_in, "upsampling only (antialias changes downsampling)"
+    scale = n_out / n_in
+    sample = (np.arange(n_out) + 0.5) / scale - 0.5
+    d = sample[:, None] - np.arange(n_in)[None, :]
+    w = np.maximum(0.0, 1.0 - np.abs(d))
+    w = w / w.sum(axis=1, keepdims=True)
+    return w.astype(np.float32)
+
+
+def _tile_rows(H: int, W: int) -> int:
+    budget = 4 * (1 << 20)  # ~4 MB for the two (TH, W) running buffers
+    for th in (256, 128, 64, 32, 16, 8):
+        if H % th == 0 and th * W * 8 <= budget:
+            return th
+    return H
+
+
+def _up_argmax_kernel(wh_ref, wwt_ref, x_ref, out_ref, *, n_classes: int):
+    Wh = wh_ref[...]   # (TH, h)
+    WwT = wwt_ref[...]  # (w, W)
+
+    def plane(c):
+        t1 = jnp.dot(Wh, x_ref[0, c].astype(jnp.float32),
+                     preferred_element_type=jnp.float32)       # (TH, w)
+        return jnp.dot(t1, WwT, preferred_element_type=jnp.float32)  # (TH, W)
+
+    best = plane(0)
+    idx = jnp.zeros(best.shape, jnp.int32)
+    for c in range(1, n_classes):
+        v = plane(c)
+        gt = v > best  # strict: first max wins ties, like jnp.argmax
+        best = jnp.where(gt, v, best)
+        idx = jnp.where(gt, c, idx)
+    out_ref[0] = idx
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "interpret"))
+def upsample_argmax(logits, out_hw: tuple[int, int], interpret: bool | None = None):
+    """(N, h, w, C) logits -> (N, H, W) int32 argmax of the bilinear upsample.
+
+    Matches ``argmax(jax.image.resize(logits, (N, H, W, C), 'bilinear'), -1)``
+    without materializing the upsampled tensor.  ``interpret=None`` auto-
+    selects the Pallas interpreter off-TPU (Mosaic is TPU-only).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, h, w, C = logits.shape
+    H, W = out_hw
+    if (H, W) == (h, w):  # no resize needed
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    wh = jnp.asarray(_resize_matrix_np(h, H))
+    wwt = jnp.asarray(_resize_matrix_np(w, W).T)
+    x = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))  # (N, C, h, w)
+    TH = _tile_rows(H, W)
+
+    return pl.pallas_call(
+        functools.partial(_up_argmax_kernel, n_classes=C),
+        grid=(N, H // TH),
+        in_specs=[
+            pl.BlockSpec((TH, h), lambda n, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, W), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, h, w), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, W), lambda n, t: (n, t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, W), jnp.int32),
+        interpret=interpret,
+    )(wh, wwt, x)
+
+
+def upsample_argmax_reference(logits, out_hw: tuple[int, int]):
+    """jnp reference of the same computation (for tests/benchmarks)."""
+    N, h, w, C = logits.shape
+    H, W = out_hw
+    up = jax.image.resize(
+        logits.astype(jnp.float32), (N, H, W, C), method="bilinear"
+    )
+    return jnp.argmax(up, axis=-1).astype(jnp.int32)

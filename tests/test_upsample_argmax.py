@@ -1,0 +1,54 @@
+"""Fused Pallas upsample+argmax eval head (VERDICT #6): weight-matrix
+exactness, kernel-vs-jnp agreement, and end-to-end mIoU equality with the
+standard fused evaluator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
+    _resize_matrix_np,
+    upsample_argmax,
+    upsample_argmax_reference,
+)
+
+
+@pytest.mark.parametrize("n_in,n_out", [(8, 32), (8, 13), (5, 17), (64, 512), (16, 16)])
+def test_resize_matrix_matches_jax(n_in, n_out):
+    m = _resize_matrix_np(n_in, n_out)
+    ref = np.asarray(jax.image.resize(jnp.eye(n_in), (n_out, n_in), method="bilinear"))
+    np.testing.assert_allclose(m, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "shape,out_hw",
+    [((2, 8, 12, 5), (32, 48)), ((3, 4, 4, 21), (32, 32)), ((1, 16, 16, 3), (16, 16))],
+)
+def test_kernel_matches_reference(shape, out_hw):
+    x = jnp.asarray(np.random.RandomState(0).randn(*shape).astype(np.float32))
+    got = np.asarray(upsample_argmax(x, out_hw))
+    want = np.asarray(upsample_argmax_reference(x, out_hw))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_miou_step_matches_fused(tiny_model, tiny_state):
+    """The Pallas-head evaluator produces the same (E, 3, C) confusion counts
+    (hence digit-identical mIoU) as the standard fused program."""
+    from ee_semantic_segmentation_tpu.ee.batch_eval import (
+        make_fused_miou_step_fn,
+        make_pallas_miou_step_fn,
+    )
+
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, (4, 32, 32)).astype(np.int32))
+
+    std = make_fused_miou_step_fn(tiny_model, 5)
+    pal = make_pallas_miou_step_fn(tiny_model, 5)
+    a = np.asarray(std(tiny_state.params, tiny_state.batch_stats, images, labels, 3))
+    b = np.asarray(pal(tiny_state.params, tiny_state.batch_stats, images, labels, 3))
+    # identical argmaxes -> identical integer confusion counts (float-assoc
+    # differences in the upsample can only flip exact ties, absent in
+    # continuous random logits)
+    np.testing.assert_array_equal(a, b)
