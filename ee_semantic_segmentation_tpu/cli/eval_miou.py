@@ -23,6 +23,10 @@ def build_parser():
     p.add_argument("-n", "--n_branches", type=int, default=0)
     p.add_argument("-s", "--save_at", type=str, default="mIoU_results")
     p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--pallas_head", action="store_true", default=False,
+                   help="use the fused Pallas upsample+argmax eval head "
+                        "(ops/pallas/upsample_argmax.py): identical counts, "
+                        "no full-res float32 logits in HBM")
     return p
 
 
@@ -48,7 +52,14 @@ def main(argv=None):
         res["net_id"].append(net_id)
         n_exits = (args.n_branches or model.config.n_branches) + 1
         # fused forward+confusion: full-res logits never leave the XLA program
-        vals = mIoU_evaluator_fused(model, state, n_exits, args.n_classes, loader)
+        step = None
+        if args.pallas_head:
+            from ee_semantic_segmentation_tpu.ee.batch_eval import make_pallas_miou_step_fn
+
+            step = make_pallas_miou_step_fn(model, args.n_classes)
+        vals = mIoU_evaluator_fused(
+            model, state, n_exits, args.n_classes, loader, step=step
+        )
         for k, v in vals.items():
             res[k].append(v)
         if args.verbose:

@@ -48,10 +48,13 @@ def _sort2(key: jnp.ndarray, pay: jnp.ndarray):
     """
     from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import sortable
 
-    # NOTE: opt-in (EE_TPU_LOVASZ_SORT=pallas) until the kernel's TPU compile
-    # is validated; numerics verified on CPU (tests/test_sort_kernel.py).
-    mode = os.environ.get("EE_TPU_LOVASZ_SORT", "xla")
-    use_pallas = sortable(key.shape[-1]) and mode == "pallas"
+    # Measured on one v5e chip (256² b16 per-image Lovász step): 77.5 img/s
+    # with the pallas sort vs 57.7 with lax.sort; standalone 336x65536:
+    # 62 vs 86 us/row.  Keys match lax.sort exactly; tie order may differ.
+    mode = os.environ.get("EE_TPU_LOVASZ_SORT", "auto")
+    use_pallas = sortable(key.shape[-1]) and (
+        mode == "pallas" or (mode == "auto" and jax.default_backend() == "tpu")
+    )
     if use_pallas:
         from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import sort_pallas
 

@@ -37,57 +37,74 @@ _LANES = 128
 _LOG_LANES = 7
 
 
-def _dir_bit(shape4, axis: int, shift: int):
-    """((iota over `axis`) >> shift) & 1 as a bool broadcast over shape4."""
-    q = jax.lax.broadcasted_iota(jnp.int32, shape4, axis)
-    return ((q >> shift) & 1) == 1
+def _halves_2d(x, d: int):
+    """(rows, minor) -> the two (g*d, minor) halves of pairs at major
+    distance d.  All elementwise work stays on 2-D vectors (Mosaic lowers
+    higher-rank / singleton-dim bool vectors poorly — a 4-D i1 vector hit
+    'Unsupported target bitwidth for truncation' on v5e)."""
+    rows, minor = x.shape
+    g = rows // (2 * d)
+    v = x.reshape(g, 2, d, minor)
+    return (
+        v[:, 0].reshape(g * d, minor),
+        v[:, 1].reshape(g * d, minor),
+        (rows, minor, g, d),
+    )
+
+
+def _join_2d(a, b, dims):
+    rows, minor, g, d = dims
+    return jnp.stack(
+        [a.reshape(g, d, minor), b.reshape(g, d, minor)], axis=1
+    ).reshape(rows, minor)
+
+
+def _exchange(ka, kb, pa, pb, dir_i):
+    """Conditional compare-exchange: dir_i (int32 0/1), 1 = descending pair.
+
+    The predicate is ONE comparison — ``(ka-kb) * (1-2*dir) > 0`` — because
+    bool-VALUED selects (``where(dir, ka<kb, kb<ka)``) make Mosaic
+    materialize i8 bool vectors and fail with 'Unsupported target bitwidth
+    for truncation' on v5e.  Keys are f32 (|err| <= 1e30, diff < f32 max)
+    or int32 positions (< 2^19, no overflow).
+    """
+    sgn = (1 - 2 * dir_i).astype(ka.dtype)
+    swap = (ka - kb) * sgn > 0
+    k0 = jnp.where(swap, kb, ka)
+    k1 = jnp.where(swap, ka, kb)
+    p0 = jnp.where(swap, pb, pa)
+    p1 = jnp.where(swap, pa, pb)
+    return k0, k1, p0, p1
 
 
 def _pass_major(key, pay, k_exp: int, s: int, log_rows_minor: int):
     """One compare-exchange pass at distance 2^k_exp along the MAJOR axis of
     a (rows, minor) view; ``log_rows_minor`` is log2(elements per major row)
-    (7 in normal layout, log2(R) in transposed layout is NOT used — see
-    _dir_bit call sites for the direction derivation)."""
-    rows, minor = key.shape
+    (7 in normal layout, 0 in transposed layout)."""
     d = 1 << (k_exp - log_rows_minor)  # distance in major rows
-    g = rows // (2 * d)
-    kv = key.reshape(g, 2, d, minor)
-    pv = pay.reshape(g, 2, d, minor)
-    ka, kb = kv[:, 0], kv[:, 1]
-    pa, pb = pv[:, 0], pv[:, 1]
-    # direction bit (i >> s) & 1 collapses onto the group axis (derivation in
-    # the module docstring); s > k always, so the shift is >= 0
-    dir1 = _dir_bit(ka.shape, 0, s - k_exp - 1)
-    swap = jnp.where(dir1, ka < kb, kb < ka)  # dir1: descending pair
-    k0 = jnp.where(swap, kb, ka)
-    k1 = jnp.where(swap, ka, kb)
-    p0 = jnp.where(swap, pb, pa)
-    p1 = jnp.where(swap, pa, pb)
-    key = jnp.stack([k0, k1], axis=1).reshape(rows, minor)
-    pay = jnp.stack([p0, p1], axis=1).reshape(rows, minor)
-    return key, pay
+    ka, kb, dims = _halves_2d(key, d)
+    pa, pb, _ = _halves_2d(pay, d)
+    # direction bit (i >> s) & 1 collapses onto the group index g = row // d
+    # (derivation in the module docstring); on the flattened (g*d, minor)
+    # view: ((iota0 // d) >> (s-k-1)) & 1 = (iota0 >> (log2 d + s-k-1)) & 1
+    log_d = k_exp - log_rows_minor
+    q = jax.lax.broadcasted_iota(jnp.int32, ka.shape, 0)
+    dir_i = (q >> (log_d + s - k_exp - 1)) & 1
+    k0, k1, p0, p1 = _exchange(ka, kb, pa, pb, dir_i)
+    return _join_2d(k0, k1, dims), _join_2d(p0, p1, dims)
 
 
 def _pass_major_dir_minor(key, pay, k_exp: int, s: int, minor_shift: int):
     """Major-axis pass whose direction bit lives on the MINOR axis
     (transposed layout, s >= 7: dir = (r >> (s-7)) & 1 with r the minor
     index)."""
-    rows, minor = key.shape
     d = 1 << k_exp
-    g = rows // (2 * d)
-    kv = key.reshape(g, 2, d, minor)
-    pv = pay.reshape(g, 2, d, minor)
-    ka, kb = kv[:, 0], kv[:, 1]
-    pa, pb = pv[:, 0], pv[:, 1]
-    dir1 = _dir_bit(ka.shape, 2, minor_shift)  # iota over the minor axis
-    swap = jnp.where(dir1, ka < kb, kb < ka)
-    k0 = jnp.where(swap, kb, ka)
-    k1 = jnp.where(swap, ka, kb)
-    p0 = jnp.where(swap, pb, pa)
-    p1 = jnp.where(swap, pa, pb)
-    key = jnp.stack([k0, k1], axis=1).reshape(rows, minor)
-    pay = jnp.stack([p0, p1], axis=1).reshape(rows, minor)
-    return key, pay
+    ka, kb, dims = _halves_2d(key, d)
+    pa, pb, _ = _halves_2d(pay, d)
+    q = jax.lax.broadcasted_iota(jnp.int32, ka.shape, 1)
+    dir_i = (q >> minor_shift) & 1
+    k0, k1, p0, p1 = _exchange(ka, kb, pa, pb, dir_i)
+    return _join_2d(k0, k1, dims), _join_2d(p0, p1, dims)
 
 
 def bitonic_sort_2d(key: jnp.ndarray, pay: jnp.ndarray):
@@ -169,8 +186,8 @@ def sort_pallas(key: jnp.ndarray, pay: jnp.ndarray, interpret: bool | None = Non
 def sortable(P: int) -> bool:
     """True when sort_pallas supports a row length of P.
 
-    Upper bound: key+payload in and out blocks are VMEM-resident
-    (4 buffers x P x 4 B); P = 2^19 (a 1024x512 image) uses 8 MB of the
-    ~16 MB VMEM.  Per-image Lovász at 256²/512² (2^16 / 2^18) is the target.
+    Upper bound: measured on v5e — P = 2^16 (256² per-image) compiles and
+    wins (62 vs 86 us/row at B=336); P >= 2^17 hangs Mosaic's compile
+    (>10 min, killed).  Larger rows fall back to lax.sort.
     """
-    return 1024 <= P <= (1 << 19) and (P & (P - 1)) == 0
+    return 1024 <= P <= (1 << 16) and (P & (P - 1)) == 0

@@ -47,6 +47,13 @@ def test_eval_miou_cli(ckpt_path, tmp_path, monkeypatch):
     df = pd.read_csv("miou_out.csv")
     assert {"b1_mIoU", "b2_mIoU", "mIoU"} <= set(df.columns)
 
+    # --pallas_head: identical row values via the fused upsample+argmax head
+    main(["-M", ckpt_path, "-c", "21", "-D", "32", "32", "-d", "synthetic",
+          "-n", "2", "-s", "miou_pal", "-b", "4", "--pallas_head"])
+    dfp = pd.read_csv("miou_pal.csv")
+    for col in ("b1_mIoU", "b2_mIoU", "mIoU"):
+        assert dfp[col].iloc[0] == pytest.approx(df[col].iloc[0], abs=1e-12)
+
 
 @pytest.mark.slow
 def test_eval_br_ent_cli(ckpt_path, tmp_path, monkeypatch):
