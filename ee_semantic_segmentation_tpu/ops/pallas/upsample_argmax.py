@@ -62,9 +62,15 @@ def _up_argmax_kernel(wh_ref, wwt_ref, x_ref, out_ref, *, n_classes: int):
     WwT = wwt_ref[...]  # (w, W)
 
     def plane(c):
+        # HIGHEST precision: v5e MXU f32 matmuls default to bf16 multi-pass,
+        # which flips more argmax near-ties vs the jnp resize path (measured
+        # ~4e-6 mIoU drift on TPU); full-precision passes shrink that to
+        # association-only differences.
         t1 = jnp.dot(Wh, x_ref[0, c].astype(jnp.float32),
-                     preferred_element_type=jnp.float32)       # (TH, w)
-        return jnp.dot(t1, WwT, preferred_element_type=jnp.float32)  # (TH, W)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)       # (TH, w)
+        return jnp.dot(t1, WwT, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (TH, W)
 
     best = plane(0)
     idx = jnp.zeros(best.shape, jnp.int32)
