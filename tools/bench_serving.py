@@ -77,11 +77,15 @@ def main():
             S, args.batch, args.img, args.img, 3
         )
 
-        # full-forward baseline with the same one-dispatch scan timing
+        # full-forward baseline with the same one-dispatch scan timing.
+        # argmax ALL exits (not just the last) so XLA cannot dead-code the
+        # branch heads — this is the ungated all-exits serving workload.
         def full_fwd(xs):
             def step(c, x):
                 out = model.apply(var, x, train=False)
-                return c, jnp.argmax(out[-1], axis=-1).astype(jnp.int32)
+                maps = jnp.argmax(out, axis=-1).astype(jnp.int32)  # (E,N,H,W)
+                # reduce every exit's map so none is dead code
+                return c, jnp.sum(maps, axis=(1, 2, 3))
 
             return jax.lax.scan(step, 0, xs)[1]
 
