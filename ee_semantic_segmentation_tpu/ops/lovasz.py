@@ -51,9 +51,14 @@ def _sort2(key: jnp.ndarray, pay: jnp.ndarray):
     # Measured on one v5e chip (256² b16 per-image Lovász step): 77.5 img/s
     # with the pallas sort vs 57.7 with lax.sort; standalone 336x65536:
     # 62 vs 86 us/row.  Keys match lax.sort exactly; tie order may differ.
+    # auto only engages the single-kernel size (P <= 2^16, seconds to
+    # compile); the chunked path for larger rows (1.17x at 2^18) costs a
+    # ~20 min first compile, so it stays behind an explicit 'pallas'.
     mode = os.environ.get("EE_TPU_LOVASZ_SORT", "auto")
-    use_pallas = sortable(key.shape[-1]) and (
-        mode == "pallas" or (mode == "auto" and jax.default_backend() == "tpu")
+    P = key.shape[-1]
+    use_pallas = sortable(P) and (
+        mode == "pallas"
+        or (mode == "auto" and P <= (1 << 16) and jax.default_backend() == "tpu")
     )
     if use_pallas:
         from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import sort_pallas

@@ -144,10 +144,122 @@ def bitonic_sort_2d(key: jnp.ndarray, pay: jnp.ndarray):
     return key, pay
 
 
+def bitonic_merge_2d(key: jnp.ndarray, pay: jnp.ndarray):
+    """Uniform-ascending bitonic MERGE of a (R, 128) row: the within-chunk
+    tail of one outer stage — passes d = R*64 .. 1, all ascending.  The
+    caller realizes per-chunk descending direction by negating keys (the
+    sign trick), so the kernel itself is direction-free."""
+    R, L = key.shape
+    P = R * L
+    m = P.bit_length() - 1
+    in_t = False
+    s = m + 1  # any s > every k makes all computed direction bits 0
+    for k_exp in range(m - 1, -1, -1):
+        if k_exp >= _LOG_LANES:
+            if in_t:
+                key, pay = key.T, pay.T
+                in_t = False
+            key, pay = _pass_major(key, pay, k_exp, s, _LOG_LANES)
+        else:
+            if not in_t:
+                key, pay = key.T, pay.T
+                in_t = True
+            key, pay = _pass_major(key, pay, k_exp, s, 0)
+    if in_t:
+        key, pay = key.T, pay.T
+    return key, pay
+
+
 def _sort_kernel(key_ref, pay_ref, key_out, pay_out):
     k, p = bitonic_sort_2d(key_ref[0], pay_ref[0])
     key_out[0] = k
     pay_out[0] = p
+
+
+def _merge_kernel(key_ref, pay_ref, key_out, pay_out):
+    k, p = bitonic_merge_2d(key_ref[0], pay_ref[0])
+    key_out[0] = k
+    pay_out[0] = p
+
+
+def _rowwise_call(kernel, key3, pay3, interpret: bool):
+    """pallas_call helper: grid over rows of (B, R, 128) key+payload."""
+    B, R, L = key3.shape
+    spec = pl.BlockSpec((1, R, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, R, L), key3.dtype),
+            jax.ShapeDtypeStruct((B, R, L), pay3.dtype),
+        ],
+        interpret=interpret,
+    )(key3, pay3)
+
+
+_CHUNK = 1 << 16  # single-kernel sweet spot; Mosaic compile hangs above
+
+
+def _sort_chunked(key, pay, interpret: bool):
+    """Sort rows of P = nc * 2^16 (nc a power of two) elements:
+
+    1. sort every 2^16 chunk with the single-row kernel (stages 1..16 of
+       the global bitonic network; odd chunks then reversed to realize the
+       alternating post-stage-16 directions);
+    2. for each outer stage s = 17..m: the cross-chunk passes
+       (d >= 2^16) are whole-chunk elementwise min/max in plain XLA
+       (the direction recursion collapses onto the chunk axis), and the
+       within-chunk tail (d = 2^15..1) is the VMEM merge kernel, with
+       per-chunk descending direction realized by the sign trick
+       (negate keys, merge ascending, negate back — exact for f32/int32).
+    """
+    B, P = key.shape
+    nc = P // _CHUNK
+    mc = nc.bit_length() - 1  # outer stages count
+    R = _CHUNK // _LANES
+
+    k3 = key.reshape(B * nc, R, _LANES)
+    p3 = pay.reshape(B * nc, R, _LANES)
+    ks, ps = _rowwise_call(_sort_kernel, k3, p3, interpret)
+    k = ks.reshape(B, nc, _CHUNK)
+    p = ps.reshape(B, nc, _CHUNK)
+    # post-stage-16 state: chunk c sorted ascending iff bit 0 of c is 0
+    flip = (jnp.arange(nc) & 1) == 1
+    k = jnp.where(flip[:, None], k[:, :, ::-1], k)
+    p = jnp.where(flip[:, None], p[:, :, ::-1], p)
+
+    for sc in range(1, mc + 1):  # outer stage s = 16 + sc
+        # cross-chunk passes: kc = sc-1 .. 0 in chunk units
+        for kc in range(sc - 1, -1, -1):
+            dc = 1 << kc
+            g = nc // (2 * dc)
+            kv = k.reshape(B, g, 2, dc, _CHUNK)
+            pv = p.reshape(B, g, 2, dc, _CHUNK)
+            ka, kb = kv[:, :, 0], kv[:, :, 1]
+            pa, pb = pv[:, :, 0], pv[:, :, 1]
+            gi = jnp.arange(g)
+            dir_i = ((gi >> (sc - kc - 1)) & 1)[None, :, None, None]
+            sgn = (1 - 2 * dir_i).astype(ka.dtype)
+            swap = (ka - kb) * sgn > 0
+            k = jnp.stack(
+                [jnp.where(swap, kb, ka), jnp.where(swap, ka, kb)], axis=2
+            ).reshape(B, nc, _CHUNK)
+            p = jnp.stack(
+                [jnp.where(swap, pb, pa), jnp.where(swap, pa, pb)], axis=2
+            ).reshape(B, nc, _CHUNK)
+        # within-chunk merge tail; chunk direction = (c >> sc) & 1
+        ci = jnp.arange(nc)
+        csgn = (1 - 2 * ((ci >> sc) & 1)).astype(key.dtype)[None, :, None]
+        kneg = (k * csgn).reshape(B * nc, R, _LANES)
+        ks, ps = _rowwise_call(
+            _merge_kernel, kneg, p.reshape(B * nc, R, _LANES), interpret
+        )
+        k = ks.reshape(B, nc, _CHUNK) * csgn
+        p = ps.reshape(B, nc, _CHUNK)
+
+    return k.reshape(B, P), p.reshape(B, P)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -156,38 +268,25 @@ def sort_pallas(key: jnp.ndarray, pay: jnp.ndarray, interpret: bool | None = Non
 
     Drop-in for ``jax.lax.sort((key, pay), num_keys=1)`` up to tie order
     (bitonic is not stable; all consumers here are tie-invariant).
+    Rows above 2^16 use the chunked sort+merge scheme (see _sort_chunked).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, P = key.shape
+    if P > _CHUNK:
+        return _sort_chunked(key, pay, interpret)
     R = P // _LANES
     kv = key.reshape(B, R, _LANES)
     pv = pay.reshape(B, R, _LANES)
-    ks, ps = pl.pallas_call(
-        _sort_kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, R, _LANES), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, _LANES), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, R, _LANES), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, _LANES), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, R, _LANES), key.dtype),
-            jax.ShapeDtypeStruct((B, R, _LANES), pay.dtype),
-        ],
-        interpret=interpret,
-    )(kv, pv)
+    ks, ps = _rowwise_call(_sort_kernel, kv, pv, interpret)
     return ks.reshape(B, P), ps.reshape(B, P)
 
 
 def sortable(P: int) -> bool:
     """True when sort_pallas supports a row length of P.
 
-    Upper bound: measured on v5e — P = 2^16 (256² per-image) compiles and
-    wins (62 vs 86 us/row at B=336); P >= 2^17 hangs Mosaic's compile
-    (>10 min, killed).  Larger rows fall back to lax.sort.
+    P <= 2^16 runs the single-row kernel (a monolithic 2^17/2^18 kernel
+    hangs Mosaic's compile, >10 min); larger rows up to 2^20 (a 1024²
+    image) use the chunked sort+merge scheme whose kernels stay at 2^16.
     """
-    return 1024 <= P <= (1 << 16) and (P & (P - 1)) == 0
+    return 1024 <= P <= (1 << 20) and (P & (P - 1)) == 0

@@ -52,6 +52,30 @@ def test_sort_pallas_batched_and_int_keys():
         np.testing.assert_allclose(np.asarray(ps)[b], grad[b][np.argsort(perm[b])])
 
 
+def test_chunked_sort_matches_np(monkeypatch):
+    """The chunked sort+merge scheme (rows > one kernel chunk) is exact;
+    chunk size shrunk so the CPU interpreter stays fast."""
+    import ee_semantic_segmentation_tpu.ops.pallas.sort_kernel as SK
+
+    monkeypatch.setattr(SK, "_CHUNK", 1024)
+    rng = np.random.RandomState(3)
+    for B, P in [(2, 2048), (1, 4096), (2, 8192)]:
+        k = jnp.asarray(rng.randn(B, P).astype(np.float32))
+        p = jnp.asarray(rng.rand(B, P).astype(np.float32))
+        ks, ps = SK._sort_chunked(k, p, interpret=True)
+        for b in range(B):
+            np.testing.assert_array_equal(np.asarray(ks)[b], np.sort(np.asarray(k)[b]))
+            order = np.argsort(np.asarray(k)[b], kind="stable")
+            np.testing.assert_allclose(np.asarray(ps)[b], np.asarray(p)[b][order])
+    # int32 keys (backward-unsort shape)
+    perm = np.stack([rng.permutation(2048) for _ in range(2)]).astype(np.int32)
+    grad = rng.randn(2, 2048).astype(np.float32)
+    ks, ps = SK._sort_chunked(jnp.asarray(perm), jnp.asarray(grad), interpret=True)
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(ks)[b], np.arange(2048))
+        np.testing.assert_allclose(np.asarray(ps)[b], grad[b][np.argsort(perm[b])])
+
+
 def test_lovasz_pallas_sort_matches_xla(monkeypatch):
     """lovasz_softmax value AND gradient agree between the XLA and Pallas
     sort backends on a power-of-two image (32x32 -> P=1024)."""
