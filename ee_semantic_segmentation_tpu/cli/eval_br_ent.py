@@ -27,6 +27,10 @@ def build_parser():
     p.add_argument("-S", "--skip", type=int, default=0)
     p.add_argument("-p", "--pool_size", type=int, default=1)
     p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--pallas_head", action="store_true", default=False,
+                   help="fused Pallas upsample+softmax+entropy+argmax head "
+                        "(metric 'ent', pool_size 1 only): no full-res "
+                        "float32 logits/probs in HBM")
     return p
 
 
@@ -56,6 +60,7 @@ def main(argv=None):
         vals = br_evaluator_entropy_fused(
             model, state, n_exits, args.n_classes, loader,
             args.threshold, metric=args.metric, size=args.pool_size, skip=args.skip,
+            pallas_head=args.pallas_head,
         )
         for k, v in vals.items():
             res[k].append(v)

@@ -247,28 +247,49 @@ def br_evaluator_entropy(
 
 
 def br_evaluator_entropy_fused(
-    model, state, n_exits, n_classes, loader, tau, *, metric="ent", size=1, skip=0
+    model, state, n_exits, n_classes, loader, tau, *, metric="ent", size=1,
+    skip=0, pallas_head: bool = False,
 ):
     """br_evaluator_entropy with forward + gating + bucketed confusion in ONE
-    jitted program — stacked logits never leave XLA."""
+    jitted program — stacked logits never leave XLA.
+
+    ``pallas_head=True`` (entropy gate, no pooling only) computes each
+    exit's label map AND gate entropy with the fused Pallas
+    upsample+softmax+entropy+argmax kernel from the low-res logits — the
+    upsampled float32 logits/probabilities never exist in HBM."""
     n_branches = n_exits - 1
     accs = [mIoU(n_classes) for _ in range(n_exits + 1)]
     counts = np.zeros(n_exits + 1, np.int64)
     pool_mode = {"ent": "none", "max": "max", "min": "min"}[metric.lower()]
     params, batch_stats = state.params, state.batch_stats
+    use_pallas = pallas_head and pool_mode == "none"
+    if use_pallas:
+        from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
+            upsample_entropy_argmax,
+        )
 
     @jax.jit
     def step(images, labels, count):
-        stacked = model.apply(
-            {"params": params, "batch_stats": batch_stats}, images, train=False
-        )
-        ent = batched_norm_entropy(stacked[:-1], n_classes, pool_mode, size)
+        out_hw = (images.shape[1], images.shape[2])
+        if use_pallas:
+            lowres = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False, method=type(model).lowres_logits,
+            )
+            per_exit = [upsample_entropy_argmax(l, out_hw) for l in lowres]
+            preds = jnp.stack([pe[0] for pe in per_exit])  # (E, N, H, W)
+            ent = jnp.stack([pe[1] for pe in per_exit[:-1]])  # (E-1, N)
+        else:
+            stacked = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images, train=False
+            )
+            ent = batched_norm_entropy(stacked[:-1], n_classes, pool_mode, size)
+            preds = jnp.argmax(stacked, axis=-1)
         fires = ent < tau
         if skip:
             fires = fires.at[:skip].set(False)
         any_fire = jnp.any(fires, axis=0)
         exit_idx = jnp.where(any_fire, jnp.argmax(fires, axis=0), n_branches)
-        preds = jnp.argmax(stacked, axis=-1)
         valid = jnp.arange(images.shape[0]) < count
         # padded rows: route to a bucket then mask via the sample mask
         bucketed, chosen_conf, _ = _bucketed_confusion_masked(

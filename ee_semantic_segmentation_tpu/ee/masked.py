@@ -42,6 +42,7 @@ def make_masked_gated_apply(
     skip: int = 0,
     pool: str = "none",
     pool_size: int = 1,
+    pallas_head: bool = False,
 ):
     """Build ``fn(x) -> (labels, exit_idx)`` — the full entropy-gated
     early-exit forward (ee_dnn_op_ne.py:51-108 semantics) as one program.
@@ -57,12 +58,19 @@ def make_masked_gated_apply(
     """
     return jax.jit(_gated_forward_fn(
         model, variables, tau=tau, n_classes=n_classes, skip=skip,
-        pool=pool, pool_size=pool_size,
+        pool=pool, pool_size=pool_size, pallas_head=pallas_head,
     ))
 
 
-def _gated_forward_fn(model, variables, *, tau, n_classes, skip, pool, pool_size):
+def _gated_forward_fn(model, variables, *, tau, n_classes, skip, pool,
+                      pool_size, pallas_head=False):
     n = model.config.n_branches
+    use_pallas = pallas_head and pool == "none"
+    if use_pallas:
+        from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
+            upsample_argmax,
+            upsample_entropy_argmax,
+        )
 
     def gated_forward(x):
         N, H, W = x.shape[0], x.shape[1], x.shape[2]
@@ -99,6 +107,13 @@ def _gated_forward_fn(model, variables, *, tau, n_classes, skip, pool, pool_size
                     return f2, jnp.zeros((N, H, W), jnp.int32), jnp.full(
                         (N,), jnp.inf, jnp.float32
                     )
+                if use_pallas:
+                    lr = model.apply(
+                        variables, f2, train=False,
+                        method=lambda m, ff, train: m.branches[k](ff, train=train),
+                    )
+                    lab, ent = upsample_entropy_argmax(lr, out_hw)
+                    return f2, lab, ent
                 logits = branch(k, f2)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 ent = jax.vmap(
@@ -124,6 +139,12 @@ def _gated_forward_fn(model, variables, *, tau, n_classes, skip, pool, pool_size
         # final segment + classifier only for still-alive rows
         def last(f):
             f2 = seg(n, f)
+            if use_pallas:
+                lr = model.apply(
+                    variables, f2, train=False,
+                    method=lambda m, ff, train: m.classifier(ff, train=train),
+                )
+                return upsample_argmax(lr, out_hw)
             return jnp.argmax(classifier(f2), axis=-1).astype(jnp.int32)
 
         lab_last = jax.lax.cond(
@@ -147,6 +168,7 @@ def make_masked_gated_scan(model, variables, **kw):
     kw.setdefault("skip", 0)
     kw.setdefault("pool", "none")
     kw.setdefault("pool_size", 1)
+    kw.setdefault("pallas_head", False)
     body = _gated_forward_fn(model, variables, **kw)
 
     def run(xs):

@@ -115,6 +115,102 @@ def upsample_argmax(logits, out_hw: tuple[int, int], interpret: bool | None = No
     )(wh, wwt, x)
 
 
+def _up_ent_argmax_kernel(wh_ref, wwt_ref, x_ref, out_ref, ent_ref, acc_ref,
+                          *, n_classes: int, n_pixels: int):
+    """Grid (N, T): upsample+argmax AND the image-mean normalized entropy of
+    the softmax over the upsampled logits, per tile, with online-softmax
+    accumulators across the class loop (no (TH, C, W) tensor ever exists).
+    """
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    num_tiles = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[0, 0] = jnp.float32(0.0)
+
+    Wh = wh_ref[...]
+    WwT = wwt_ref[...]
+
+    def plane(c):
+        t1 = jnp.dot(Wh, x_ref[0, c].astype(jnp.float32),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(t1, WwT, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (TH, W)
+
+    v = plane(0)
+    best, idx = v, jnp.zeros(v.shape, jnp.int32)
+    m, z, s = v, jnp.ones_like(v), jnp.zeros_like(v)
+    for c in range(1, n_classes):
+        v = plane(c)
+        gt = v > best
+        best = jnp.where(gt, v, best)
+        idx = jnp.where(gt, c, idx)
+        # online softmax-entropy: z = sum e^{x-m}, s = sum e^{x-m} (x-m)
+        m2 = jnp.maximum(m, v)
+        corr = jnp.exp(m - m2)
+        e = jnp.exp(v - m2)
+        s = corr * (s + (m - m2) * z) + e * (v - m2)
+        z = corr * z + e
+        m = m2
+    out_ref[0] = idx
+    # pixel entropy H = log z - s/z; accumulate the tile's sum
+    acc_ref[0, 0] += jnp.sum(jnp.log(z) - s / z)
+
+    @pl.when(t == num_tiles - 1)
+    def _():
+        inv = 1.0 / (jnp.float32(n_pixels) * jnp.log(jnp.float32(n_classes)))
+        # ent lives whole in SMEM (TPU lowering requires full-array blocks
+        # there); each image writes its row at its last tile
+        ent_ref[n, 0] = acc_ref[0, 0] * inv
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "interpret"))
+def upsample_entropy_argmax(logits, out_hw: tuple[int, int],
+                            interpret: bool | None = None):
+    """(N, h, w, C) logits -> ((N, H, W) int32 argmax of the bilinear
+    upsample, (N,) mean normalized entropy of its softmax).
+
+    The entropy matches ``norm_entropy(softmax(resize(logits)), C)``
+    (ops/gating.py pool='none') — the eval_br_ent gate quantity — without
+    materializing the upsampled logits or probabilities.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, h, w, C = logits.shape
+    H, W = out_hw
+    wh = jnp.asarray(
+        _resize_matrix_np(h, H) if (H, W) != (h, w) else np.eye(h, dtype=np.float32)
+    )
+    wwt = jnp.asarray(
+        _resize_matrix_np(w, W).T if (H, W) != (h, w) else np.eye(w, dtype=np.float32)
+    )
+    x = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
+    TH = _tile_rows(H, W)
+
+    labels, ent = pl.pallas_call(
+        functools.partial(_up_ent_argmax_kernel, n_classes=C, n_pixels=H * W),
+        grid=(N, H // TH),
+        in_specs=[
+            pl.BlockSpec((TH, h), lambda n, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, W), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, h, w), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TH, W), lambda n, t: (n, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, W), jnp.int32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(wh, wwt, x)
+    return labels, ent[:, 0]
+
+
 def upsample_argmax_reference(logits, out_hw: tuple[int, int]):
     """jnp reference of the same computation (for tests/benchmarks)."""
     N, h, w, C = logits.shape

@@ -66,6 +66,21 @@ def test_masked_threshold_extremes(tiny_model, tiny_state, images):
     assert np.all(np.asarray(exits) == tiny_model.config.n_branches + 1)
 
 
+def test_masked_pallas_head_matches(tiny_model, tiny_state, images):
+    """pallas_head=True produces the same exits and labels at the threshold
+    extremes (gate entropies match the XLA path to ~1e-6; labels exactly)."""
+    var = {"params": tiny_state.params, "batch_stats": tiny_state.batch_stats}
+    for tau in (np.inf, -np.inf):
+        lab_x, ex_x = make_masked_gated_apply(tiny_model, var, tau=tau, n_classes=5)(
+            jnp.asarray(images)
+        )
+        lab_p, ex_p = make_masked_gated_apply(
+            tiny_model, var, tau=tau, n_classes=5, pallas_head=True
+        )(jnp.asarray(images))
+        np.testing.assert_array_equal(np.asarray(ex_x), np.asarray(ex_p))
+        np.testing.assert_array_equal(np.asarray(lab_x), np.asarray(lab_p))
+
+
 def test_masked_scan_matches_per_batch(tiny_model, tiny_state, images):
     """The one-dispatch lax.scan variant returns exactly the per-micro-batch
     results."""

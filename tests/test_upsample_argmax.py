@@ -32,6 +32,50 @@ def test_kernel_matches_reference(shape, out_hw):
     np.testing.assert_array_equal(got, want)
 
 
+def test_entropy_argmax_kernel_matches_jnp():
+    """Fused upsample+softmax+entropy+argmax: labels exactly equal, entropy
+    matches norm_entropy(softmax(resize(x))) to float tolerance."""
+    from ee_semantic_segmentation_tpu.ops.gating import norm_entropy
+    from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
+        upsample_entropy_argmax,
+    )
+
+    x = jnp.asarray(np.random.RandomState(4).randn(3, 8, 12, 5).astype(np.float32) * 2)
+    lab, ent = upsample_entropy_argmax(x, (32, 48))
+    np.testing.assert_array_equal(
+        np.asarray(lab), np.asarray(upsample_argmax_reference(x, (32, 48)))
+    )
+    up = jax.image.resize(x, (3, 32, 48, 5), method="bilinear")
+    probs = jax.nn.softmax(up, axis=-1)
+    want = jax.vmap(lambda p: norm_entropy(p, 5))(probs)
+    np.testing.assert_allclose(np.asarray(ent), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_entropy_evaluator_pallas_head_matches(tiny_model, tiny_state):
+    """br_evaluator_entropy_fused(pallas_head=True) returns the same result
+    dict as the XLA path."""
+    from ee_semantic_segmentation_tpu.ee.batch_eval import br_evaluator_entropy_fused
+
+    rng = np.random.RandomState(5)
+    batches = [
+        {
+            "image": rng.rand(4, 32, 32, 3).astype(np.float32),
+            "label": rng.randint(0, 5, (4, 32, 32)).astype(np.int32),
+        }
+        for _ in range(2)
+    ]
+    tau = 0.97
+    a = br_evaluator_entropy_fused(tiny_model, tiny_state, 2, 5, list(batches), tau)
+    b = br_evaluator_entropy_fused(
+        tiny_model, tiny_state, 2, 5, list(batches), tau, pallas_head=True
+    )
+    assert a.keys() == b.keys()
+    for k in a:
+        # empty exit buckets give NaN mIoU (reference semantics) — NaN in
+        # both paths counts as agreement
+        assert a[k] == pytest.approx(b[k], rel=1e-6, nan_ok=True), k
+
+
 def test_pallas_miou_step_matches_fused(tiny_model, tiny_state):
     """The Pallas-head evaluator produces the same (E, 3, C) confusion counts
     (hence digit-identical mIoU) as the standard fused program."""

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--engine", choices=["queue", "masked", "both"], default="both",
                     help="queue = host-side compaction pipeline (ee/serving), "
                          "masked = single-program lax.cond engine (ee/masked)")
+    ap.add_argument("--pallas_head", action="store_true", default=False,
+                    help="masked engine computes branch gates + label maps "
+                         "with the fused Pallas upsample+entropy+argmax head")
     ap.add_argument("--sharpen", type=float, default=8.0,
                     help="scale branch-head classifier kernels so the "
                          "random-weight model produces confident (low-"
@@ -102,7 +105,8 @@ def main():
 
         for tau in args.taus:
             fn = make_masked_gated_scan(
-                model, var, tau=tau, n_classes=model.config.num_classes
+                model, var, tau=tau, n_classes=model.config.num_classes,
+                pallas_head=args.pallas_head,
             )
             w0, w1 = fn(xs)
             int(jnp.sum(w0[-1, -1])) + int(w1[-1, -1])  # warmup scalar fetch
