@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench golden dryrun lint
+.PHONY: test test-fast bench golden dryrun multihost lint
 
 test:            ## full suite (virtual 8-device CPU mesh; ~15-25 min cold)
 	python -m pytest tests/ -q
@@ -25,6 +25,9 @@ dryrun:          ## multi-chip sharding dry run on 8 virtual CPU devices
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c \
 	  "import jax; jax.config.update('jax_platforms','cpu'); \
 	   import __graft_entry__ as G; G.dryrun_multichip(8)"
+
+multihost:       ## real 2-process jax.distributed train-step smoke (Gloo)
+	python tools/multihost_smoke.py --nprocs 2
 
 lint:            ## bytecode-compile everything (fast sanity)
 	python -m compileall -q ee_semantic_segmentation_tpu tools tests *.py

@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Two-process multi-host smoke: the REAL jax.distributed path end-to-end.
+
+Spawns N worker processes on this host (CPU backend, Gloo collectives —
+the same `jax.distributed.initialize` + global-mesh + per-process input
+sharding code path a TPU pod uses over DCN, SURVEY §2 "TPU-native
+equivalents"), then in every process:
+
+1. `initialize_multihost(coordinator, N, pid)` — our bring-up path
+   (parallel/mesh.py), global 1-D mesh over every device in the job;
+2. `DataLoader(shard_by_process=True)` — each process reads a disjoint
+   strided shard of the same global permutation;
+3. one full DP train step (`make_train_step` over the global mesh) on the
+   2-exit branchy model with `multihost_utils.host_local_array_to_global_array`
+   committing each host's shard into the global batch;
+4. asserts the loss is finite and BIT-IDENTICAL across processes — the
+   proof that gradient all-reduce ran globally (each process feeds
+   different data, so an un-synchronized step would diverge).
+
+Usage: python tools/multihost_smoke.py [--nprocs 2] (spawner), or with
+--worker <pid> as the per-process entry.
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_PORT = 29517
+
+
+def worker(pid: int, nprocs: int, devices_per_proc: int = 2):
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from ee_semantic_segmentation_tpu.parallel.mesh import initialize_multihost
+
+    mesh = initialize_multihost(
+        coordinator_address=f"localhost:{_PORT}", num_processes=nprocs, process_id=pid
+    )
+    assert jax.process_count() == nprocs
+    assert mesh.devices.size == nprocs * devices_per_proc
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from ee_semantic_segmentation_tpu.data.loader import DataLoader
+    from ee_semantic_segmentation_tpu.data.synthetic import SyntheticSegDataset
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import (
+        BranchyConfig,
+        BranchyDeepLabV3,
+    )
+    from ee_semantic_segmentation_tpu.ops.xentropy import BrXEntropyLoss
+    from ee_semantic_segmentation_tpu.parallel import create_train_state, make_train_step
+    from ee_semantic_segmentation_tpu.parallel.mesh import data_sharding
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    cfg = BranchyConfig(
+        backbone_depth=0, img_dim=32, n_branches=1, segment_ends=(4,),
+        branch_channels=(40,), num_classes=21, backbone="mobilenet_v3_large",
+        branch_params={"nout_channels": 32, "atrous_rates": (2, 4, 6)},
+        classifier_mid=32,
+    )
+    model = BranchyDeepLabV3(config=cfg)
+    tx = sgd_momentum()
+
+    global_batch = 8
+    local_batch = global_batch // nprocs
+    # per-process disjoint shard of the same global permutation
+    ds = SyntheticSegDataset(size=32, n=global_batch, seed=0)
+    loader = DataLoader(ds, batch_size=local_batch, shuffle=True, seed=7,
+                        shard_by_process=True)
+    batch = next(iter(loader))
+
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model, tx, rng, jnp.zeros((global_batch, 32, 32, 3)), mesh=mesh
+    )
+    loss_obj = BrXEntropyLoss(ignore_index=21, b_reduction="sum", n_exits=2)
+    step = make_train_step(model, loss_obj, tx, mesh=mesh)
+
+    # commit each host's local shard into the global batch array
+    sh = data_sharding(mesh)
+    g_images = multihost_utils.host_local_array_to_global_array(
+        np.asarray(batch["image"]), mesh, sh.spec
+    )
+    g_labels = multihost_utils.host_local_array_to_global_array(
+        np.asarray(batch["label"]), mesh, sh.spec
+    )
+    state, metrics = step(state, g_images, g_labels, jnp.float32(0.01))
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+
+    losses = multihost_utils.process_allgather(jnp.float32(loss))
+    assert np.all(np.asarray(losses) == loss), (
+        f"loss differs across processes: {losses}"
+    )
+    print(f"worker {pid}: OK global_loss={loss:.6f}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--worker", type=int, default=None)
+    args = ap.parse_args()
+    if args.worker is not None:
+        worker(args.worker, args.nprocs)
+        return
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--nprocs", str(args.nprocs), "--worker", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, cwd=REPO,
+        )
+        for i in range(args.nprocs)
+    ]
+    ok = True
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=900)
+        tail = "\n".join(out.strip().splitlines()[-2:])
+        print(f"--- worker {i} rc={p.returncode}\n{tail}")
+        ok &= p.returncode == 0 and "OK global_loss=" in out
+    if not ok:
+        sys.exit(1)
+    print(f"multihost_smoke: OK ({args.nprocs} processes)")
+
+
+if __name__ == "__main__":
+    main()
