@@ -56,13 +56,101 @@ def build_parser(entropy: bool = False):
     p.add_argument("-d", "--dataset", type=str, default=None)
     p.add_argument("-n", "--n_classes", type=int)
     p.add_argument("-p", "--pool_size", type=int, default=1)
+    if entropy:
+        p.add_argument("--engine", choices=["seq", "masked"], default="seq",
+                       help="seq = per-image segment-at-a-time (reference "
+                            "semantics); masked = batched one-program engine "
+                            "(ee/masked.py): lax.cond segment skipping, one "
+                            "device dispatch per micro-batch")
+        p.add_argument("-b", "--batch_size", type=int, default=8,
+                       help="micro-batch size for --engine masked")
+        p.add_argument("--pallas_head", action="store_true", default=False,
+                       help="masked engine: fused Pallas upsample+entropy+"
+                            "argmax gate head")
     return p
+
+
+def run_masked(args):
+    """Batched masked-engine path (entropy gate): whole dataset as one
+    lax.scan dispatch per compile; same CSV schema as the sequential path.
+    Compute prices come from the analytic table over the realized exit
+    histogram (the masked engine genuinely skips segments at run time)."""
+    import jax.numpy as jnp
+
+    from ee_semantic_segmentation_tpu.cli import common
+    from ee_semantic_segmentation_tpu.data.loader import DataLoader
+    from ee_semantic_segmentation_tpu.ee.masked import (
+        gated_flops_per_image,
+        make_masked_gated_apply,
+    )
+
+    if args.ignore_branch:
+        raise SystemExit("--engine masked supports only a leading skip, not -I")
+    if args.metric.lower() != "ent" or args.pool_size != 1:
+        raise SystemExit("--engine masked supports the plain entropy gate only")
+
+    n_classes = args.n_classes
+    model, state = common.load_model(args.model)
+    n_eexits = model.config.n_branches
+    img_size = args.size
+    input_dim = img_size[0]
+
+    fn = make_masked_gated_apply(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        tau=args.threshold, n_classes=n_classes, pallas_head=args.pallas_head,
+    )
+    test_set = common.resolve_test_set(args.dataset, input_dim)
+    loader = DataLoader(test_set, args.batch_size)
+
+    prog = union_mIoU(n_classes)
+    exit_counts: dict = {}
+    n_imgs = 0
+    for batch in loader:
+        count = int(batch.get("count", len(batch["image"])))
+        labels, exits = fn(jnp.asarray(batch["image"]))
+        labels = np.asarray(labels)[:count]
+        exits = np.asarray(exits)[:count]
+        for j in range(count):
+            prog(labels[j], batch["label"][j])
+            e = int(exits[j])
+            exit_counts[e] = exit_counts.get(e, 0) + 1
+        n_imgs += count
+
+    table = model.flops_table(input_dim)
+    edge_cost = sum(table["segments"][:-1]) + sum(table["branches"][:-1])
+    edge = sum(
+        (gated_flops_per_image(model, {e: 1}, img_dim=input_dim) if e <= n_eexits
+         else edge_cost) * c
+        for e, c in exit_counts.items()
+    )
+
+    res = defaultdict(list)
+    res["net_id"].append(args.model)
+    res["x"].append(img_size[0])
+    res["y"].append(img_size[1] if len(img_size) > 1 else img_size[0])
+    res["metric"].append(args.metric.lower())
+    res["t"].append(args.threshold)
+    for i in range(n_eexits):
+        res[f"e_{i + 1}"].append(exit_counts.get(i + 1, 0))
+    res["out"].append(exit_counts.get(n_eexits + 1, 0))
+    res["n_imgs"].append(n_imgs)
+    res["avg_flops"].append(
+        gated_flops_per_image(model, exit_counts, img_dim=input_dim)
+    )
+    res["edge_flops"].append(edge / max(n_imgs, 1))
+    res["mIoU"].append(prog.compute())
+
+    saveat = f"./ee_{n_eexits}_{args.metric}_lw_m2_res.csv"
+    common.append_csv(dict(sorted(res.items())), saveat)
 
 
 def run(args, entropy: bool):
     from ee_semantic_segmentation_tpu.cli import common
     from ee_semantic_segmentation_tpu.data.loader import DataLoader
     from ee_semantic_segmentation_tpu.ee.sequential import EarlyExitRunner
+
+    if entropy and getattr(args, "engine", "seq") == "masked":
+        return run_masked(args)
 
     n_classes = args.n_classes
     metric = args.metric

@@ -104,6 +104,22 @@ def test_ee_dnn_op_ne_cli(ckpt_path, tmp_path, monkeypatch):
     # exit histogram columns sum to image count
     assert df[["e_1", "e_2", "out"]].iloc[0].sum() == 16
 
+    # --engine masked: batched one-program engine, same schema; exits agree
+    # with the sequential run (same gate semantics)
+    from ee_semantic_segmentation_tpu.cli.ee_dnn_op_ne import main as main2
+
+    main2(["-M", ckpt_path, "-m", "ent", "-t", "0.99", "-s", "32", "32",
+           "-d", "synthetic", "-n", "21", "--engine", "masked", "-b", "4"])
+    df2 = pd.read_csv(files[0])
+    assert len(df2) == 2
+    seq, msk = df2.iloc[0], df2.iloc[1]
+    for col in ("e_1", "e_2", "out", "n_imgs"):
+        assert msk[col] == seq[col], col
+    assert msk["mIoU"] == pytest.approx(seq["mIoU"], rel=1e-6)
+    # the masked engine's realized avg FLOPs can only be <= the sequential
+    # engine's (which always also pays the final head for 'last')
+    assert msk["avg_flops"] <= seq["avg_flops"] + 1e-6
+
 
 @pytest.mark.slow
 def test_eval_br_sim_cli(ckpt_path, tmp_path, monkeypatch):
