@@ -25,6 +25,10 @@ def build_parser():
     p.add_argument("-t", "--threshold", type=float, default=0.5)
     p.add_argument("-S", "--skip", type=int, default=0)
     p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--pallas_head", action="store_true", default=False,
+                   help="fused Pallas upsample+argmax head for the exit "
+                        "label maps (identical counts; no full-res float32 "
+                        "logits in HBM)")
     return p
 
 
@@ -65,6 +69,7 @@ def main(argv=None, image_level: bool = False):
                 model, state, n_exits, args.n_classes, loader,
                 args.metric, args.threshold,
                 ignore=(args.n_classes - 1,), skip=args.skip,
+                pallas_head=args.pallas_head,
             )
         for k, v in vals.items():
             res[k].append(v)

@@ -317,30 +317,53 @@ def br_evaluator_entropy_fused(
 
 
 def br_evaluator_similarity_fused(
-    model, state, n_exits, n_classes, loader, metric, tau, *, ignore=(), skip=0
+    model, state, n_exits, n_classes, loader, metric, tau, *, ignore=(), skip=0,
+    pallas_head: bool = False,
 ):
     """br_evaluator_similarity with forward + gating + bucketed confusion in
     ONE jitted program (confusion-matrix accumulators only; the img_mIoU
-    variant stays on the two-step path)."""
+    variant stays on the two-step path).
+
+    The similarity gates consume only argmaxed label maps, so
+    ``pallas_head=True`` computes each exit's map with the fused Pallas
+    upsample+argmax kernel from low-res logits."""
     n_branches = n_exits - 1
     accs = [mIoU(n_classes) for _ in range(n_exits + 1)]
     counts = np.zeros(n_exits + 1, np.int64)
     greater = metric.lower() in SIM_GREATER
     params, batch_stats = state.params, state.batch_stats
+    if pallas_head:
+        from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
+            upsample_argmax,
+        )
 
     @jax.jit
     def step(images, labels, count):
-        stacked = model.apply(
-            {"params": params, "batch_stats": batch_stats}, images, train=False
-        )
-        preds = jnp.argmax(stacked, axis=-1)
-        sims = batched_similarity(preds, metric, n_classes, ignore)
-        fires = (sims > tau) if greater else (sims < tau)
-        idx = jnp.arange(1, n_branches)
-        mask = idx >= (1 + skip)
-        fires = fires[: n_branches - 1] & mask[:, None]
-        any_fire = jnp.any(fires, axis=0)
-        exit_idx = jnp.where(any_fire, jnp.argmax(fires, axis=0) + 1, n_branches)
+        if pallas_head:
+            lowres = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False, method=type(model).lowres_logits,
+            )
+            out_hw = (images.shape[1], images.shape[2])
+            preds = jnp.stack([upsample_argmax(l, out_hw) for l in lowres])
+        else:
+            stacked = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images, train=False
+            )
+            preds = jnp.argmax(stacked, axis=-1)
+        N = preds.shape[1]
+        if n_branches <= 1:
+            # no consecutive-exit pairs to gate on (i >= 1 needs 2 branches,
+            # eval_br_sim.py:41-48) — everything takes the final head
+            exit_idx = jnp.full((N,), n_branches, jnp.int32)
+        else:
+            sims = batched_similarity(preds, metric, n_classes, ignore)
+            fires = (sims > tau) if greater else (sims < tau)
+            idx = jnp.arange(1, n_branches)
+            mask = idx >= (1 + skip)
+            fires = fires[: n_branches - 1] & mask[:, None]
+            any_fire = jnp.any(fires, axis=0)
+            exit_idx = jnp.where(any_fire, jnp.argmax(fires, axis=0) + 1, n_branches)
         valid = jnp.arange(images.shape[0]) < count
         bucketed, chosen_conf, _ = _bucketed_confusion_masked(
             preds, labels, exit_idx, valid, num_classes=n_classes
@@ -408,6 +431,10 @@ def br_evaluator_similarity(
     @jax.jit
     def gate(stacked):
         preds = jnp.argmax(stacked, axis=-1)  # (E, N, H, W)
+        if n_branches <= 1:
+            # no consecutive-exit pairs to gate on (i >= 1 needs 2 branches,
+            # eval_br_sim.py:41-48) — everything takes the final head
+            return preds, jnp.full((preds.shape[1],), n_branches, jnp.int32)
         # sims[i] compares exit i-1 vs i for i in [1, n_branches)
         sims = batched_similarity(preds, metric, n_classes, ignore)  # (E-1, N)
         fires = (sims > tau) if greater else (sims < tau)

@@ -76,6 +76,28 @@ def test_entropy_evaluator_pallas_head_matches(tiny_model, tiny_state):
         assert a[k] == pytest.approx(b[k], rel=1e-6, nan_ok=True), k
 
 
+def test_similarity_evaluator_pallas_head_matches(tiny_model, tiny_state):
+    """br_evaluator_similarity_fused(pallas_head=True) matches the XLA path
+    (label maps identical -> identical gates and counts)."""
+    from ee_semantic_segmentation_tpu.ee.batch_eval import br_evaluator_similarity_fused
+
+    rng = np.random.RandomState(6)
+    batches = [
+        {
+            "image": rng.rand(4, 32, 32, 3).astype(np.float32),
+            "label": rng.randint(0, 5, (4, 32, 32)).astype(np.int32),
+        }
+    ]
+    a = br_evaluator_similarity_fused(
+        tiny_model, tiny_state, 2, 5, list(batches), "mse", 10.0
+    )
+    b = br_evaluator_similarity_fused(
+        tiny_model, tiny_state, 2, 5, list(batches), "mse", 10.0, pallas_head=True
+    )
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-6, nan_ok=True), k
+
+
 def test_pallas_miou_step_matches_fused(tiny_model, tiny_state):
     """The Pallas-head evaluator produces the same (E, 3, C) confusion counts
     (hence digit-identical mIoU) as the standard fused program."""
