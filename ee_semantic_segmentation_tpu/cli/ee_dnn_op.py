@@ -56,24 +56,27 @@ def build_parser(entropy: bool = False):
     p.add_argument("-d", "--dataset", type=str, default=None)
     p.add_argument("-n", "--n_classes", type=int)
     p.add_argument("-p", "--pool_size", type=int, default=1)
+    p.add_argument("--engine", choices=["seq", "masked"], default="seq",
+                   help="seq = per-image segment-at-a-time (reference "
+                        "semantics); masked = batched one-program engine "
+                        "(ee/masked.py): lax.cond segment skipping, one "
+                        "device dispatch per micro-batch")
+    p.add_argument("-b", "--batch_size", type=int, default=8,
+                   help="micro-batch size for --engine masked")
+    p.add_argument("-S", "--skip", type=int, default=0,
+                   help="--engine masked: leave the first S branches "
+                        "ungated (equivalent to a leading -I 1..S)")
     if entropy:
-        p.add_argument("--engine", choices=["seq", "masked"], default="seq",
-                       help="seq = per-image segment-at-a-time (reference "
-                            "semantics); masked = batched one-program engine "
-                            "(ee/masked.py): lax.cond segment skipping, one "
-                            "device dispatch per micro-batch")
-        p.add_argument("-b", "--batch_size", type=int, default=8,
-                       help="micro-batch size for --engine masked")
         p.add_argument("--pallas_head", action="store_true", default=False,
                        help="masked engine: fused Pallas upsample+entropy+"
                             "argmax gate head")
     return p
 
 
-def run_masked(args):
-    """Batched masked-engine path (entropy gate): whole dataset as one
-    lax.scan dispatch per compile; same CSV schema as the sequential path.
-    Compute prices come from the analytic table over the realized exit
+def run_masked(args, entropy: bool):
+    """Batched masked-engine path (entropy OR similarity gate): whole dataset
+    as one lax.scan dispatch per compile; same CSV schema as the sequential
+    path.  Compute prices come from the analytic table over the realized exit
     histogram (the masked engine genuinely skips segments at run time)."""
     import jax.numpy as jnp
 
@@ -84,12 +87,24 @@ def run_masked(args):
         make_masked_gated_apply,
     )
 
-    if args.ignore_branch:
-        raise SystemExit("--engine masked supports only a leading skip, not -I")
-    if args.metric.lower() != "ent" or args.pool_size != 1:
-        raise SystemExit("--engine masked supports the plain entropy gate only")
+    metric = args.metric.lower()
+    skip = args.skip
+    ig = sorted(args.ignore_branch)
+    if ig:
+        # a leading -I prefix IS a skip; anything non-contiguous can't be
+        # expressed at fixed shape (every gated branch head runs)
+        if ig != list(range(1, len(ig) + 1)):
+            raise SystemExit(
+                "--engine masked supports only a leading -I prefix "
+                "(e.g. -I 1 2), which is equivalent to -S")
+        skip = max(skip, len(ig))
 
     n_classes = args.n_classes
+    ignore_bk = getattr(args, "ignore_background", False)
+    sim_ignore = () if entropy else (
+        (0, n_classes - 1) if ignore_bk else (n_classes - 1,))
+    pool = {"max": "max", "min": "min"}.get(metric, "none") if entropy else "none"
+
     model, state = common.load_model(args.model)
     n_eexits = model.config.n_branches
     img_size = args.size
@@ -97,7 +112,10 @@ def run_masked(args):
 
     fn = make_masked_gated_apply(
         model, {"params": state.params, "batch_stats": state.batch_stats},
-        tau=args.threshold, n_classes=n_classes, pallas_head=args.pallas_head,
+        tau=args.threshold, n_classes=n_classes, skip=skip,
+        pool=pool, pool_size=args.pool_size,
+        pallas_head=getattr(args, "pallas_head", False),
+        metric="ent" if entropy else metric, sim_ignore=sim_ignore,
     )
     test_set = common.resolve_test_set(args.dataset, input_dim)
     loader = DataLoader(test_set, args.batch_size)
@@ -117,30 +135,44 @@ def run_masked(args):
         n_imgs += count
 
     table = model.flops_table(input_dim)
-    edge_cost = sum(table["segments"][:-1]) + sum(table["branches"][:-1])
-    edge = sum(
-        (gated_flops_per_image(model, {e: 1}, img_dim=input_dim) if e <= n_eexits
-         else edge_cost) * c
-        for e, c in exit_counts.items()
-    )
+
+    def edge_avg(exclude_first):
+        # edge = compute spent on-device before offloading: the gated cost
+        # for images that exited, everything up to the last branch otherwise
+        first = skip + 1 if exclude_first else skip
+        edge_cost = (sum(table["segments"][:-1])
+                     + sum(table["branches"][first:-1]))
+        tot = sum(
+            (gated_flops_per_image(model, {e: 1}, skip=skip, img_dim=input_dim,
+                                   exclude_first_branch=exclude_first)
+             if e <= n_eexits else edge_cost) * c
+            for e, c in exit_counts.items()
+        )
+        return tot / max(n_imgs, 1)
 
     res = defaultdict(list)
     res["net_id"].append(args.model)
     res["x"].append(img_size[0])
     res["y"].append(img_size[1] if len(img_size) > 1 else img_size[0])
-    res["metric"].append(args.metric.lower())
+    res["metric"].append(metric)
     res["t"].append(args.threshold)
     for i in range(n_eexits):
         res[f"e_{i + 1}"].append(exit_counts.get(i + 1, 0))
     res["out"].append(exit_counts.get(n_eexits + 1, 0))
     res["n_imgs"].append(n_imgs)
     res["avg_flops"].append(
-        gated_flops_per_image(model, exit_counts, img_dim=input_dim)
+        gated_flops_per_image(model, exit_counts, skip=skip, img_dim=input_dim)
     )
-    res["edge_flops"].append(edge / max(n_imgs, 1))
+    res["edge_flops"].append(edge_avg(False))
+    if not entropy:
+        res["avg_flops_2"].append(gated_flops_per_image(
+            model, exit_counts, skip=skip, img_dim=input_dim,
+            exclude_first_branch=True))
+        res["edge_flops_2"].append(edge_avg(True))
+        res["ig_bk"].append(ignore_bk)
     res["mIoU"].append(prog.compute())
 
-    saveat = f"./ee_{n_eexits}_{args.metric}_lw_m2_res.csv"
+    saveat = f"./ee_{n_eexits}_{metric}_lw_m2_res.csv"
     common.append_csv(dict(sorted(res.items())), saveat)
 
 
@@ -149,8 +181,8 @@ def run(args, entropy: bool):
     from ee_semantic_segmentation_tpu.data.loader import DataLoader
     from ee_semantic_segmentation_tpu.ee.sequential import EarlyExitRunner
 
-    if entropy and getattr(args, "engine", "seq") == "masked":
-        return run_masked(args)
+    if getattr(args, "engine", "seq") == "masked":
+        return run_masked(args, entropy)
 
     n_classes = args.n_classes
     metric = args.metric

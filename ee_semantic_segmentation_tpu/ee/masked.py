@@ -6,7 +6,9 @@ decides per image, per segment, on the host — every decision is a
 device->host sync.  ee/sequential.py reduced that to one scalar fetch per
 stage, but through a tunnel with ~30 ms RTT per call even that dominates.
 This engine moves the *entire* gated forward — every segment, branch head,
-entropy gate and exit decision — inside a single jitted program:
+gate (normalized entropy, ee_dnn_op_ne.py:80-87, or exit-vs-previous-exit
+similarity, ee_dnn_op.py:84-94) and exit decision — inside a single jitted
+program:
 
 * exit decisions are a fixed-shape boolean ``alive`` vector (one lane per
   image) — no dynamic shapes ever reach XLA;
@@ -30,7 +32,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ee_semantic_segmentation_tpu.ops.gating import norm_entropy
+from ee_semantic_segmentation_tpu.ops.gating import SIM_GREATER, norm_entropy, similarity
 
 
 def make_masked_gated_apply(
@@ -43,34 +45,48 @@ def make_masked_gated_apply(
     pool: str = "none",
     pool_size: int = 1,
     pallas_head: bool = False,
+    metric: str = "ent",
+    sim_ignore=(),
 ):
-    """Build ``fn(x) -> (labels, exit_idx)`` — the full entropy-gated
-    early-exit forward (ee_dnn_op_ne.py:51-108 semantics) as one program.
+    """Build ``fn(x) -> (labels, exit_idx)`` — the full gated early-exit
+    forward as one program.  ``metric='ent'`` reproduces the entropy gate
+    (ee_dnn_op_ne.py:51-108); a similarity metric name ('ssim' | 'mse' |
+    'nmi' | 'vi' | 'h_xy' | 'h_yx') reproduces the exit-vs-previous-exit
+    similarity gate (ee_dnn_op.py:84-94): the first evaluated branch only
+    seeds the reference map, later branches fire when the similarity to the
+    previous exit crosses tau (> tau for ssim/nmi, < tau otherwise).
 
     x: (N, H, W, C) preprocessed images (a micro-batch).
     labels: (N, H, W) int32 argmax map of each image's chosen exit.
     exit_idx: (N,) int32 — 1-based exit index (n+1 = final classifier),
     matching the reference's ``n`` output column.
 
-    Images that pass branch ``k``'s gate (mean normalized entropy < tau,
-    k >= skip) freeze their output; once *all* images have exited, later
-    segments are skipped at run time via ``lax.cond``.
+    Images that pass branch ``k``'s gate (k >= skip) freeze their output;
+    once *all* images have exited, later segments are skipped at run time
+    via ``lax.cond``.
     """
     return jax.jit(_gated_forward_fn(
         model, variables, tau=tau, n_classes=n_classes, skip=skip,
         pool=pool, pool_size=pool_size, pallas_head=pallas_head,
+        metric=metric, sim_ignore=sim_ignore,
     ))
 
 
 def _gated_forward_fn(model, variables, *, tau, n_classes, skip, pool,
-                      pool_size, pallas_head=False):
+                      pool_size, pallas_head=False, metric="ent",
+                      sim_ignore=()):
     n = model.config.n_branches
-    use_pallas = pallas_head and pool == "none"
+    metric = metric.lower()
+    entropy_gate = metric in ("ent", "max", "min")
+    if metric in ("max", "min") and pool == "none":
+        pool, metric = metric, "ent"
+    use_pallas = pallas_head and pool == "none" and entropy_gate
     if use_pallas:
         from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
             upsample_argmax,
             upsample_entropy_argmax,
         )
+    sim_ignore = tuple(sim_ignore)
 
     def gated_forward(x):
         N, H, W = x.shape[0], x.shape[1], x.shape[2]
@@ -78,6 +94,9 @@ def _gated_forward_fn(model, variables, *, tau, n_classes, skip, pool,
         alive = jnp.ones((N,), bool)
         labels = jnp.zeros((N, H, W), jnp.int32)
         exit_idx = jnp.full((N,), n + 1, jnp.int32)
+        # similarity gate carry: previous exit's label map per row
+        ref_map = jnp.zeros((N, H, W), jnp.int32)
+        has_ref = jnp.zeros((N,), bool)
 
         def seg(k, feats):
             return model.apply(
@@ -101,7 +120,8 @@ def _gated_forward_fn(model, variables, *, tau, n_classes, skip, pool,
         for k in range(n):
             gated = k >= skip
 
-            def stage(f, k=k, gated=gated):
+            def stage(ops, k=k, gated=gated):
+                f, ref = ops
                 f2 = seg(k, f)
                 if not gated:
                     return f2, jnp.zeros((N, H, W), jnp.int32), jnp.full(
@@ -115,26 +135,43 @@ def _gated_forward_fn(model, variables, *, tau, n_classes, skip, pool,
                     lab, ent = upsample_entropy_argmax(lr, out_hw)
                     return f2, lab, ent
                 logits = branch(k, f2)
-                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                ent = jax.vmap(
-                    lambda p: norm_entropy(p, n_classes, pool, pool_size)
-                )(probs)
                 lab = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return f2, lab, ent
+                if entropy_gate:
+                    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                    gate = jax.vmap(
+                        lambda p: norm_entropy(p, n_classes, pool, pool_size)
+                    )(probs)
+                else:
+                    gate = jax.vmap(
+                        lambda r, c: similarity(r, c, metric, n_classes, sim_ignore)
+                    )(ref, lab).astype(jnp.float32)
+                return f2, lab, gate
 
-            def dead(f, k=k):
-                shp = jax.eval_shape(lambda ff: seg(k, ff), f)
+            def dead(ops, k=k):
+                shp = jax.eval_shape(lambda ff: seg(k, ff), ops[0])
                 return (
                     jnp.zeros(shp.shape, shp.dtype),
                     jnp.zeros((N, H, W), jnp.int32),
                     jnp.full((N,), jnp.inf, jnp.float32),
                 )
 
-            feats, lab_k, ent_k = jax.lax.cond(jnp.any(alive), stage, dead, feats)
-            fired = alive & (ent_k < tau)
-            labels = jnp.where(fired[:, None, None], lab_k, labels)
-            exit_idx = jnp.where(fired, jnp.int32(k + 1), exit_idx)
-            alive = alive & ~fired
+            feats, lab_k, gate_k = jax.lax.cond(
+                jnp.any(alive), stage, dead, (feats, ref_map)
+            )
+            if gated:
+                if entropy_gate:
+                    fired = alive & (gate_k < tau)
+                else:
+                    cmp = gate_k > tau if metric in SIM_GREATER else gate_k < tau
+                    # the first evaluated branch only seeds the reference map
+                    # (ee_dnn_op.py:84-94: no previous exit -> no gate yet)
+                    fired = alive & has_ref & cmp
+                    upd = alive & ~fired
+                    ref_map = jnp.where(upd[:, None, None], lab_k, ref_map)
+                    has_ref = has_ref | upd
+                labels = jnp.where(fired[:, None, None], lab_k, labels)
+                exit_idx = jnp.where(fired, jnp.int32(k + 1), exit_idx)
+                alive = alive & ~fired
 
         # final segment + classifier only for still-alive rows
         def last(f):
@@ -181,11 +218,16 @@ def make_masked_gated_scan(model, variables, **kw):
     return jax.jit(run)
 
 
-def gated_flops_per_image(model, exit_counts, skip: int = 0, img_dim=None):
+def gated_flops_per_image(model, exit_counts, skip: int = 0, img_dim=None,
+                          exclude_first_branch: bool = False):
     """Average realized FLOPs/image given per-exit counts (1-based index ->
     count), priced by the analytic table — the reference's ``avg_flops``
     CSV column (ee_dnn_op_ne.py:194-206), but for the masked engine the
     numbers correspond to actual skipped compute at micro-batch granularity.
+
+    ``exclude_first_branch`` drops the first *evaluated* branch head's cost
+    (branch ``skip``) — the reference CSV's ``_2`` columns
+    (ee_dnn_op.py:106-117).
     """
     table = model.flops_table(img_dim)
     seg, br = table["segments"], table["branches"]
@@ -199,7 +241,8 @@ def gated_flops_per_image(model, exit_counts, skip: int = 0, img_dim=None):
         n_segs = min(e, n + 1)
         cost = sum(seg[:n_segs])
         # every gated branch head up to the firing one runs
-        for k in range(skip, min(e, n)):
+        first = skip + 1 if exclude_first_branch else skip
+        for k in range(first, min(e, n)):
             cost += br[k]
         if e == n + 1:
             cost += br[-1]

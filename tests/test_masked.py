@@ -109,3 +109,80 @@ def test_gated_flops_pricing(tiny_model):
     assert all_first < all_last
     mixed = gated_flops_per_image(tiny_model, {1: 5, n + 1: 5})
     assert all_first < mixed < all_last
+
+
+@pytest.fixture(scope="module")
+def sim_model_state():
+    """3-exit model (2 branches) — the similarity gate needs a previous exit
+    to compare against, so 1-branch models never fire it."""
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import (
+        BranchyConfig,
+        BranchyDeepLabV3,
+    )
+    from ee_semantic_segmentation_tpu.parallel import create_train_state
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    cfg = BranchyConfig(
+        backbone_depth=50, img_dim=32, n_branches=2, segment_ends=(2, 4),
+        branch_channels=(256, 256), num_classes=5,
+    )
+    model = BranchyDeepLabV3(config=cfg)
+    state = create_train_state(
+        model, sgd_momentum(), jax.random.PRNGKey(1), jnp.zeros((4, 32, 32, 3))
+    )
+    return model, state
+
+
+@pytest.mark.parametrize("metric,taus", [
+    ("mse", (0.5, 2.0, 1e9)),
+    ("ssim", (0.3, 0.8)),
+    ("nmi", (1.2, 1.6)),
+])
+def test_masked_similarity_matches_sequential(sim_model_state, images, metric, taus):
+    """VERDICT r02 #7: the masked engine's similarity gate agrees with the
+    per-image sequential engine (ee_dnn_op.py:84-94 semantics) exit-for-exit
+    and pixel-for-pixel."""
+    from ee_semantic_segmentation_tpu.ops.gating import SIM_GREATER
+
+    model, state = sim_model_state
+    var = {"params": state.params, "batch_stats": state.batch_stats}
+    for tau in taus:
+        fn = make_masked_gated_apply(
+            model, var, tau=tau, n_classes=5, metric=metric,
+            sim_ignore=(4,),
+        )
+        labels, exits = fn(jnp.asarray(images))
+        labels, exits = np.asarray(labels), np.asarray(exits)
+
+        runner = EarlyExitRunner(
+            model, state.params, state.batch_stats,
+            metric=metric, threshold=tau,
+            less_than=metric not in SIM_GREATER,
+            n_classes=5, sim_ignore=(4,), img_dim=32,
+        )
+        for i in range(images.shape[0]):
+            out = runner(images[i])
+            assert exits[i] == out["n"], (metric, tau, i)
+            np.testing.assert_array_equal(labels[i], out["exit"])
+
+
+def test_masked_similarity_skip(sim_model_state, images):
+    """skip=1 leaves only branch 2 gated; it merely seeds the reference map,
+    so every image must reach the final classifier."""
+    model, state = sim_model_state
+    var = {"params": state.params, "batch_stats": state.batch_stats}
+    fn = make_masked_gated_apply(
+        model, var, tau=1e9, n_classes=5, metric="mse", skip=1,
+    )
+    _, exits = fn(jnp.asarray(images))
+    assert np.all(np.asarray(exits) == model.config.n_branches + 1)
+
+
+def test_gated_flops_exclude_first_branch(tiny_model):
+    """The `_2` pricing drops exactly the first evaluated branch head."""
+    table = tiny_model.flops_table()
+    n = tiny_model.config.n_branches
+    full = gated_flops_per_image(tiny_model, {n + 1: 3})
+    no_first = gated_flops_per_image(tiny_model, {n + 1: 3},
+                                     exclude_first_branch=True)
+    assert full - no_first == pytest.approx(table["branches"][0])
