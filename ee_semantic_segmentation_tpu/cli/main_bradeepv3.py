@@ -28,13 +28,14 @@ def build_parser():
     p.add_argument("-f", "--fine_tune", type=str, default="")
     p.add_argument("-d", "--dataset", type=str, default="voc_seg",
                    help="voc_seg (default), cityscapes, or synthetic")
-    p.add_argument("-P", "--per_image_loss", action="store_true", default=True,
-                   help="per-image Lovász (the TPU default: 2.7x faster grad "
-                        "— smaller, better-parallelized sorts)")
+    p.add_argument("-P", "--per_image_loss", action="store_true", default=False,
+                   help="per-image Lovász: 2.7x faster grad on TPU (smaller, "
+                        "better-parallelized sorts); default is the "
+                        "reference's per-batch semantics "
+                        "(branchy_seg_losses.py:134 per_image=False)")
     p.add_argument("-B", "--batch_loss", action="store_true", default=False,
-                   help="per-batch Lovász (the reference's default, "
-                        "lovaszsoftmax.py:154-169) — slower on TPU; use for "
-                        "exact loss-semantics parity")
+                   help="force per-batch Lovász (the default; kept for "
+                        "back-compat, overrides -P)")
     p.add_argument("-D", "--input_dim", type=int, nargs="+", default=[256],
                    help="square side, or H W for non-square (e.g. -D 512 1024)")
     p.add_argument("-b", "--batch_size", type=int, default=32)

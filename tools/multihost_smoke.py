@@ -29,10 +29,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-_PORT = 29517
+def _free_port() -> int:
+    """OS-assigned free TCP port (fixed ports collide with stale coordinator
+    processes when run under the full test suite — VERDICT r02 flake)."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
-def worker(pid: int, nprocs: int, devices_per_proc: int = 2):
+def worker(pid: int, nprocs: int, port: int, devices_per_proc: int = 2):
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devices_per_proc}"
     )
@@ -43,7 +50,7 @@ def worker(pid: int, nprocs: int, devices_per_proc: int = 2):
     from ee_semantic_segmentation_tpu.parallel.mesh import initialize_multihost
 
     mesh = initialize_multihost(
-        coordinator_address=f"localhost:{_PORT}", num_processes=nprocs, process_id=pid
+        coordinator_address=f"localhost:{port}", num_processes=nprocs, process_id=pid
     )
     assert jax.process_count() == nprocs
     assert mesh.devices.size == nprocs * devices_per_proc
@@ -110,15 +117,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--port", type=int, default=None)
     args = ap.parse_args()
     if args.worker is not None:
-        worker(args.worker, args.nprocs)
+        worker(args.worker, args.nprocs, args.port or _free_port())
         return
 
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
-             "--nprocs", str(args.nprocs), "--worker", str(i)],
+             "--nprocs", str(args.nprocs), "--worker", str(i),
+             "--port", str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, cwd=REPO,
         )
         for i in range(args.nprocs)
