@@ -100,6 +100,7 @@ class DeepLabHead(nn.Module):
     num_classes: int = 21
     mid_channels: int = 256
     atrous_rates: Sequence[int] = (12, 24, 36)
+    dropout_rate: float = 0.5
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     axis_name: str | None = None
@@ -109,6 +110,7 @@ class DeepLabHead(nn.Module):
         x = ASPP(
             self.mid_channels,
             self.atrous_rates,
+            dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
@@ -134,6 +136,7 @@ class BranchHead(nn.Module):
     nout_channels: int = 256
     atrous_rates: Sequence[int] = (12, 24, 36)
     bottleneck: int | None = None
+    dropout_rate: float = 0.5
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     axis_name: str | None = None
@@ -145,6 +148,7 @@ class BranchHead(nn.Module):
         x = ASPP(
             self.nout_channels,
             self.atrous_rates,
+            dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,

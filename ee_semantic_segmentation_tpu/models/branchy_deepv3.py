@@ -58,6 +58,7 @@ class BranchyConfig:
     branch_params: dict | None = None  # {'atrous_rates': ..., 'nout_channels': ..., 'bottleneck': ...}
     backbone: str = "resnet"  # 'resnet' | 'mobilenet_v3_large'
     classifier_mid: int = 256  # DeepLabHead width (torchvision default 256)
+    head_dropout: float = 0.5  # ASPP projection dropout (torchvision default)
 
     @property
     def n_exits(self) -> int:
@@ -178,6 +179,7 @@ class BranchyDeepLabV3(nn.Module):
                         nout_channels=bp["nout_channels"],
                         atrous_rates=tuple(bp["atrous_rates"]),
                         bottleneck=bp.get("bottleneck"),
+                        dropout_rate=cfg.head_dropout,
                         dtype=self.dtype,
                         bn_momentum=self.bn_momentum,
                         axis_name=self.axis_name,
@@ -188,6 +190,7 @@ class BranchyDeepLabV3(nn.Module):
                 branch_list.append(
                     heads.DeepLabHead(
                         num_classes=cfg.num_classes,
+                        dropout_rate=cfg.head_dropout,
                         dtype=self.dtype,
                         bn_momentum=self.bn_momentum,
                         axis_name=self.axis_name,
@@ -198,6 +201,7 @@ class BranchyDeepLabV3(nn.Module):
         self.classifier = heads.DeepLabHead(
             num_classes=cfg.num_classes,
             mid_channels=cfg.classifier_mid,
+            dropout_rate=cfg.head_dropout,
             dtype=self.dtype,
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
@@ -210,8 +214,11 @@ class BranchyDeepLabV3(nn.Module):
 
     def _upsample(self, y, out_hw):
         n, _, _, c = y.shape
+        # at least f32 for the resize (bf16 logits upsample in f32); f64
+        # passes through untouched (numeric-parity tests run in x64)
         y = jax.image.resize(
-            y.astype(jnp.float32), (n, out_hw[0], out_hw[1], c), method="bilinear"
+            y.astype(jnp.promote_types(y.dtype, jnp.float32)),
+            (n, out_hw[0], out_hw[1], c), method="bilinear"
         )
         return y
 

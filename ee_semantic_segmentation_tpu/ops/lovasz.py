@@ -82,11 +82,11 @@ def lovasz_grad(gt_sorted: jnp.ndarray, valid_sorted: jnp.ndarray | None = None)
     Returns:
       (P,) float gradient.
     """
-    gt_sorted = gt_sorted.astype(jnp.float32)
+    gt_sorted = gt_sorted.astype(jnp.promote_types(gt_sorted.dtype, jnp.float32))
     if valid_sorted is None:
         valid_sorted = jnp.ones_like(gt_sorted)
     else:
-        valid_sorted = valid_sorted.astype(jnp.float32)
+        valid_sorted = valid_sorted.astype(gt_sorted.dtype)
     gts = jnp.sum(gt_sorted)
     intersection = gts - jnp.cumsum(gt_sorted)
     union = gts + jnp.cumsum(valid_sorted - gt_sorted)
@@ -120,19 +120,20 @@ def _class_loss(errors: jnp.ndarray, fg: jnp.ndarray, valid: jnp.ndarray) -> jnp
 
 def _class_loss_fwd_impl(errors, fg, valid):
     # Sort bytes dominate the training step, so keep operands minimal: when
-    # position*4 + flags fits exactly in a float32 integer (4P + 3 <= 2^24,
-    # true for every per-image resolution up to 2048x2048), pack the
-    # position AND the fg/valid flags into ONE f32 payload -> a 2-operand
-    # sort instead of 3 (1/3 less HBM traffic through the sort network).
+    # the max packed value 4*(P-1) + 3 = 4P - 1 fits exactly in a float32
+    # integer (4P - 1 <= 2^24, true for every per-image resolution up to and
+    # including 2048x2048 = 2^22 pixels), pack the position AND the fg/valid
+    # flags into ONE f32 payload -> a 2-operand sort instead of 3 (1/3 less
+    # HBM traffic through the sort network).
     # (An int32 position<<2|flags single-payload variant compiled fine on
     # CPU but hung the TPU compiler — f32 payloads avoid that path.)
     P = errors.shape[0]
-    if 4 * P + 3 <= (1 << 24):
+    if 4 * P - 1 <= (1 << 24):
         iota_f = jax.lax.broadcasted_iota(jnp.float32, (P, 1), 0)[:, 0]
         pay = iota_f * 4.0 + fg * 2.0 + valid
         neg_err, pay_s = _sort2(-errors, pay)
         pay_i = pay_s.astype(jnp.int32)
-        perm = jax.lax.shift_right_logical(pay_i, 2)
+        perm = jax.lax.shift_right_logical(pay_i, jnp.int32(2))
         fg_s = ((pay_i & 2) >> 1).astype(jnp.float32)
         valid_s = (pay_i & 1).astype(jnp.float32)
     else:  # huge flat-batch case: positions no longer exact in f32
@@ -183,12 +184,13 @@ def lovasz_softmax_flat(
     Returns: scalar loss.
     """
     P, C = probas.shape
-    probas = jnp.asarray(probas, jnp.float32)
+    probas = jnp.asarray(probas)
+    probas = probas.astype(jnp.promote_types(probas.dtype, jnp.float32))
     labels = jnp.asarray(labels)
     if valid is None:
-        valid_f = jnp.ones((P,), jnp.float32)
+        valid_f = jnp.ones((P,), probas.dtype)
     else:
-        valid_f = jnp.asarray(valid, jnp.float32)
+        valid_f = jnp.asarray(valid, probas.dtype)
 
     if isinstance(classes, str):
         class_ids = jnp.arange(C)
@@ -271,12 +273,12 @@ def _hinge_class_loss(errors: jnp.ndarray, fg: jnp.ndarray, valid: jnp.ndarray) 
 
 def _hinge_class_loss_fwd_impl(errors, fg, valid):
     P = errors.shape[0]
-    if 4 * P + 3 <= (1 << 24):  # same packed-f32 2-operand sort as _class_loss
+    if 4 * P - 1 <= (1 << 24):  # same packed-f32 2-operand sort as _class_loss
         iota_f = jax.lax.broadcasted_iota(jnp.float32, (P, 1), 0)[:, 0]
         pay = iota_f * 4.0 + fg * 2.0 + valid
         neg_err, pay_s = _sort2(-errors, pay)
         pay_i = pay_s.astype(jnp.int32)
-        perm = jax.lax.shift_right_logical(pay_i, 2)
+        perm = jax.lax.shift_right_logical(pay_i, jnp.int32(2))
         fg_s = ((pay_i & 2) >> 1).astype(jnp.float32)
         valid_s = (pay_i & 1).astype(jnp.float32)
     else:

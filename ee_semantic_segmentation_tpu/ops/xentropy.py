@@ -32,11 +32,12 @@ def cross_entropy(
     valid = targets != ignore_index
     # Clip so the gather is in-bounds for ignored labels (e.g. void=21, C=21).
     safe_t = jnp.clip(targets, 0, logits.shape[-1] - 1)
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    acc = jnp.promote_types(logits.dtype, jnp.float32)  # >= f32; keeps f64
+    log_probs = jax.nn.log_softmax(logits.astype(acc), axis=-1)
     nll = -jnp.take_along_axis(log_probs, safe_t[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
     if reduction == "mean":
-        count = jnp.sum(valid.astype(jnp.float32))
+        count = jnp.sum(valid.astype(acc))
         return jnp.sum(nll) / jnp.maximum(count, 1.0)
     if reduction == "sum":
         return jnp.sum(nll)
