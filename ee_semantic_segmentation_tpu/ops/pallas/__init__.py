@@ -1,28 +1,37 @@
-"""Pallas TPU kernels for the gating/eval hot path.
+"""Pallas TPU kernels for the gating/eval/training hot paths.
 
 XLA already fuses the conv/BN/ReLU compute path well; these kernels target
-the ops where XLA materializes large intermediates in HBM:
+the ops where XLA either materializes large intermediates in HBM or
+schedules poorly:
 
-* ``entropy_kernel`` — fused softmax + normalized entropy + spatial mean:
-  streams logits tiles through VMEM and writes one scalar per image,
-  instead of materializing the (N, H, W, C) softmax probabilities.
-* ``confusion_kernel`` — fused argmax + per-class TP/FP/FN accumulation:
-  streams pixel tiles and keeps the (3, C) counts in VMEM, instead of
-  materializing two (P, C) one-hot matrices.
 * ``upsample_argmax`` — fused bilinear-upsample (as two exact weight-matrix
   matmuls per class) + argmax: writes (N, H, W) int32 label maps without
-  ever materializing the upsampled (N, H, W, C) float32 logits.
+  ever materializing the upsampled (N, H, W, C) float32 logits; the
+  ``upsample_entropy_argmax`` variant also emits the per-image normalized
+  softmax entropy (the eval_br_ent gate), and ``upsample_argmax_confusion``
+  folds the per-class TP/FP/FN counting in too, so only a (3, C) count
+  matrix leaves the kernel.
+* ``sort_kernel`` — batched VMEM-resident bitonic sort (key + payload):
+  the Lovász training step is sort-bound; one row fits entirely in VMEM so
+  the whole network runs at register/VMEM bandwidth instead of lax.sort's
+  multi-pass HBM streaming.
+
+Round-1 standalone gating kernels (softmax-entropy, argmax-confusion on
+full-res maps) consistently lost to XLA's own fusion (C=21 wastes 107 of
+128 lanes when classes sit in the lane dim) and were retired in round 3 —
+superseded by the upsample-fused variants above, where the class loop sits
+OUTSIDE the lane dim and the matmuls carry the cost.
 
 Each kernel has a reference jnp implementation it is tested against
-(``interpret=True`` on CPU; compiled on TPU).
+(``interpret=True`` on CPU; compiled + compared on TPU via `make tpu-smoke`).
 """
 
-from ee_semantic_segmentation_tpu.ops.pallas.entropy_kernel import (
-    batched_entropy_pallas,
-)
-from ee_semantic_segmentation_tpu.ops.pallas.confusion_kernel import (
-    confusion_pallas,
+from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import (
+    sort_pallas,
+    sortable,
 )
 from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
     upsample_argmax,
+    upsample_argmax_confusion,
+    upsample_entropy_argmax,
 )

@@ -49,12 +49,19 @@ def _resize_matrix_np(n_in: int, n_out: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
-def _tile_rows(H: int, W: int) -> int:
-    budget = 4 * (1 << 20)  # ~4 MB for the two (TH, W) running buffers
+_TILE_BUDGET = 4 * (1 << 20)  # ~4 MB for the two (TH, W) running buffers
+
+
+def _tile_rows(H: int, W: int) -> int | None:
+    """Largest row-tile that divides H within the VMEM budget; None when no
+    tiling fits (odd H with a huge W) — callers fall back to the jnp path
+    instead of risking a VMEM OOM with TH=H."""
     for th in (256, 128, 64, 32, 16, 8):
-        if H % th == 0 and th * W * 8 <= budget:
+        if H % th == 0 and th * W * 8 <= _TILE_BUDGET:
             return th
-    return H
+    if H * W * 8 <= _TILE_BUDGET:
+        return H
+    return None
 
 
 def _up_argmax_kernel(wh_ref, wwt_ref, x_ref, out_ref, *, n_classes: int):
@@ -96,10 +103,12 @@ def upsample_argmax(logits, out_hw: tuple[int, int], interpret: bool | None = No
     H, W = out_hw
     if (H, W) == (h, w):  # no resize needed
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    TH = _tile_rows(H, W)
+    if TH is None:  # no VMEM-safe tiling exists for this (H, W)
+        return upsample_argmax_reference(logits, out_hw)
     wh = jnp.asarray(_resize_matrix_np(h, H))
     wwt = jnp.asarray(_resize_matrix_np(w, W).T)
     x = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))  # (N, C, h, w)
-    TH = _tile_rows(H, W)
 
     return pl.pallas_call(
         functools.partial(_up_argmax_kernel, n_classes=C),
@@ -179,7 +188,20 @@ def upsample_entropy_argmax(logits, out_hw: tuple[int, int],
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N, h, w, C = logits.shape
+    if C < 2:
+        raise ValueError(
+            f"normalized entropy needs n_classes >= 2 (base-C log), got C={C}")
     H, W = out_hw
+    TH = _tile_rows(H, W)
+    if TH is None:  # no VMEM-safe tiling: jnp fallback (same semantics)
+        from ee_semantic_segmentation_tpu.ops.gating import norm_entropy
+
+        up = jax.image.resize(
+            logits.astype(jnp.float32), (N, H, W, C), method="bilinear")
+        labels = jnp.argmax(up, axis=-1).astype(jnp.int32)
+        probs = jax.nn.softmax(up, axis=-1)
+        ent = jax.vmap(lambda p: norm_entropy(p, C))(probs)
+        return labels, ent
     wh = jnp.asarray(
         _resize_matrix_np(h, H) if (H, W) != (h, w) else np.eye(h, dtype=np.float32)
     )
@@ -187,7 +209,6 @@ def upsample_entropy_argmax(logits, out_hw: tuple[int, int],
         _resize_matrix_np(w, W).T if (H, W) != (h, w) else np.eye(w, dtype=np.float32)
     )
     x = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
-    TH = _tile_rows(H, W)
 
     labels, ent = pl.pallas_call(
         functools.partial(_up_ent_argmax_kernel, n_classes=C, n_pixels=H * W),
@@ -209,6 +230,111 @@ def upsample_entropy_argmax(logits, out_hw: tuple[int, int],
         interpret=interpret,
     )(wh, wwt, x)
     return labels, ent[:, 0]
+
+
+def _up_argmax_conf_kernel(count_ref, wh_ref, wwt_ref, x_ref, lab_ref,
+                           out_ref, acc_ref, *, n_classes: int):
+    """Grid (N, T): upsample+argmax AND per-class (TP, FP, FN) confusion
+    counts against the ground-truth tile, accumulated across the whole grid
+    — the (N, H, W) int32 label maps never touch HBM either (VERDICT r02
+    #8; replaces the retired standalone confusion_kernel).
+
+    Semantics == ops/metrics.confusion_counts on the argmax maps: void
+    labels (>= n_classes) match no class, so they contribute FP to the
+    predicted class and nothing to TP/FN.  Rows n >= count (padded batch
+    tail) are skipped — the mask semantics of make_pallas_miou_step_fn.
+    """
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when((n == 0) & (t == 0))
+    def _():
+        for c in range(n_classes):
+            acc_ref[0, c] = jnp.float32(0.0)
+            acc_ref[1, c] = jnp.float32(0.0)
+            acc_ref[2, c] = jnp.float32(0.0)
+
+    Wh = wh_ref[...]
+    WwT = wwt_ref[...]
+
+    def plane(c):
+        t1 = jnp.dot(Wh, x_ref[0, c].astype(jnp.float32),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(t1, WwT, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (TH, W)
+
+    best = plane(0)
+    idx = jnp.zeros(best.shape, jnp.int32)
+    for c in range(1, n_classes):
+        v = plane(c)
+        gt_pred = v > best
+        best = jnp.where(gt_pred, v, best)
+        idx = jnp.where(gt_pred, c, idx)
+
+    @pl.when(n < count_ref[0])
+    def _():
+        lab = lab_ref[0]  # (TH, W) int32; void ids are >= n_classes
+        for c in range(n_classes):
+            pf = jnp.where(idx == c, 1.0, 0.0)
+            gf = jnp.where(lab == c, 1.0, 0.0)
+            tp = jnp.sum(pf * gf)
+            acc_ref[0, c] += tp
+            acc_ref[1, c] += jnp.sum(pf) - tp  # FP: pred c, gt not-c/void
+            acc_ref[2, c] += jnp.sum(gf) - tp  # FN: gt c, pred not-c
+
+    @pl.when((n == pl.num_programs(0) - 1) & (t == pl.num_programs(1) - 1))
+    def _():
+        for c in range(n_classes):
+            out_ref[0, c] = acc_ref[0, c]
+            out_ref[1, c] = acc_ref[1, c]
+            out_ref[2, c] = acc_ref[2, c]
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "interpret"))
+def upsample_argmax_confusion(logits, labels, count, out_hw: tuple[int, int],
+                              interpret: bool | None = None):
+    """(N, h, w, C) logits + (N, H, W) int labels -> (3, C) float32 summed
+    TP/FP/FN of ``argmax(resize(logits))`` vs labels over rows < ``count``.
+
+    Equals ``confusion_update(upsample_argmax(logits, out_hw), labels, C)``
+    restricted to the first ``count`` rows, with neither the upsampled
+    logits nor the argmax maps materialized in HBM.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, h, w, C = logits.shape
+    H, W = out_hw
+    TH = _tile_rows(H, W)
+    if TH is None or (H, W) == (h, w):
+        # jnp fallback: same semantics, standard XLA path
+        from ee_semantic_segmentation_tpu.ops.metrics import confusion_counts
+
+        maps = upsample_argmax(logits, out_hw, interpret=interpret)
+        tp, fp, fn = confusion_counts(maps, labels, C)
+        mask = (jnp.arange(N) < count).astype(jnp.float32)[:, None]
+        return jnp.stack([(tp * mask).sum(0), (fp * mask).sum(0),
+                          (fn * mask).sum(0)])
+    wh = jnp.asarray(_resize_matrix_np(h, H))
+    wwt = jnp.asarray(_resize_matrix_np(w, W).T)
+    x = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
+    count_arr = jnp.asarray(count, jnp.int32).reshape(1)
+
+    return pl.pallas_call(
+        functools.partial(_up_argmax_conf_kernel, n_classes=C),
+        grid=(N, H // TH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TH, h), lambda n, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, W), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, h, w), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, W), lambda n, t: (n, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((3, C), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((3, C), jnp.float32)],
+        interpret=interpret,
+    )(count_arr, wh, wwt, x, jnp.asarray(labels, jnp.int32))
 
 
 def upsample_argmax_reference(logits, out_hw: tuple[int, int]):
