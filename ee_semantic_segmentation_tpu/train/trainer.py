@@ -123,13 +123,18 @@ def train(
             f"lr = {cur_lr:.6g}, no updates since {counter} epochs",
             use_file, verbose,
         )
-        epoch_loss = 0.0
+        # loss accumulates ON DEVICE: `float(m["loss"])` per step would force
+        # a device->host sync every batch (~30 ms RTT through a tunnel, ~15%
+        # of a 256² step) — one scalar fetch per epoch instead (VERDICT r02 #6)
+        loss_dev = None
         n_batches = 0
         for batch in train_loader:
             b = shard_batch(mesh, {"image": batch["image"], "label": batch["label"]})
             state, m = step_fn(state, b["image"], b["label"], jnp.float32(cur_lr))
-            epoch_loss += float(m["loss"])
+            loss_dev = m["loss"] if loss_dev is None else loss_dev + m["loss"]
             n_batches += 1
+        # the fetch also forces execution, so the epoch timing stays honest
+        epoch_loss = float(loss_dev) if n_batches else 0.0
         dt = time.perf_counter() - t0
         log_msg(
             f"<< {name} progress update >> finished #{epoch} training epoch "

@@ -25,8 +25,14 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--loss", choices=["ce", "lovasz", "both"], default="both")
     ap.add_argument("--per_image", action="store_true",
-                    help="per-image Lovász (the TPU-default train CLI path)")
+                    help="per-image Lovász (the -P train CLI path)")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--accumulate", action="store_true",
+                    help="accumulate the loss on device and fetch ONCE at "
+                         "the end (the trainer's round-3 epoch-loop "
+                         "behavior) instead of a per-step scalar fetch — "
+                         "measures the host-sync overhead VERDICT r02 #6 "
+                         "removed")
     args = ap.parse_args()
 
     import jax
@@ -73,10 +79,17 @@ def main():
     state, m = step(state, images, labels, jnp.float32(0.01))
     float(m["loss"])  # compile + warm
     t0 = time.perf_counter()
-    v = 0.0
-    for _ in range(args.iters):
-        state, m = step(state, images, labels, jnp.float32(0.01))
-        v = float(m["loss"])
+    if args.accumulate:
+        acc = None
+        for _ in range(args.iters):
+            state, m = step(state, images, labels, jnp.float32(0.01))
+            acc = m["loss"] if acc is None else acc + m["loss"]
+        v = float(acc)  # single fetch forces completion of the whole chain
+    else:
+        v = 0.0
+        for _ in range(args.iters):
+            state, m = step(state, images, labels, jnp.float32(0.01))
+            v = float(m["loss"])
     dt = time.perf_counter() - t0
     assert np.isfinite(v)
     print(
@@ -87,6 +100,7 @@ def main():
                 "unit": "images/sec",
                 "loss": args.loss,
                 "remat": args.remat,
+                "accumulate": args.accumulate,
             }
         )
     )
