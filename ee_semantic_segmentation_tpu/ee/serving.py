@@ -12,10 +12,21 @@ FLOPs savings into throughput.  This engine does, TPU-style:
   map and leaves the pipeline;
 * stages run whenever B inputs are queued (or at flush, padded), so device
   work per image approaches the true gated cost: images that exit early
-  never occupy later (more expensive) stages.
+  never occupy later (more expensive) stages;
+* **double-buffered scheduling** (round 3): stage execution is split into
+  an async *dispatch* phase and a blocking *resolve* phase.  A whole wave
+  of ready micro-batches is dispatched before the first gate vector is
+  fetched, so stage k+1's input assembly (and every other runnable stage)
+  overlaps stage k's device compute — on a remote tunnel the ~30 ms
+  round-trip of each gate fetch is paid under the compute of the other
+  in-flight stages instead of serializing the pipeline.  Exited images'
+  label maps are NOT fetched on the critical path either; they stay on
+  device until ``flush()``/``results()`` materializes them.
 
 Bookkeeping uses the analytic FLOPs table, giving the same avg-FLOPs/image
 accounting as the reference's ee_dnn_op CSVs — but as *realized* compute.
+Continuous-batching stats (per-stage runs, padded-slot fraction, wave
+sizes) are exposed via ``stats()``.
 """
 
 from __future__ import annotations
@@ -66,9 +77,14 @@ class BatchedEarlyExitServer:
 
         self._queues: list[list[_Item]] = [[] for _ in range(self.n + 1)]
         self._results: dict[int, dict] = {}
+        # exited maps deferred on device: list of (uids, exit_idx, maps_dev)
+        self._pending_maps: list[tuple[list[int], int, jnp.ndarray]] = []
         self._next_uid = 0
         self.stage_runs = np.zeros(self.n + 1, np.int64)
         self.total_flops = 0.0
+        self.padded_slots = 0
+        self.filled_slots = 0
+        self.wave_sizes: list[int] = []
 
         mdl, var = model, self.vars
 
@@ -119,7 +135,9 @@ class BatchedEarlyExitServer:
         self._drain(full_only=True)
         return uids
 
-    def _run_stage(self, k: int, items: list[_Item]):
+    def _dispatch_stage(self, k: int, items: list[_Item]):
+        """Async phase: launch stage k on a micro-batch.  Returns a pending
+        record; nothing here blocks on the device."""
         B = self.B
         pad = B - len(items)
         xs = [it.data for it in items]
@@ -128,12 +146,21 @@ class BatchedEarlyExitServer:
         x = jnp.stack(xs)
         feats, labels, ent = self._stages[k](x)
         self.stage_runs[k] += 1
+        self.padded_slots += pad
+        self.filled_slots += len(items)
         # realized compute: the whole micro-batch pays the stage cost
         stage_cost = self._seg_flops[k] if k < self.n else self._seg_flops[-1]
         head_cost = self._br_flops[k] if (k < self.n and k >= self.skip) else (
             self._br_flops[-1] if k == self.n else 0.0
         )
         self.total_flops += B * (stage_cost + head_cost)
+        return (k, items, feats, labels, ent)
+
+    def _resolve(self, pending):
+        """Blocking phase: fetch the gate vector (one small transfer), route
+        survivors' features (device-side gather) and park exited images'
+        label maps ON DEVICE for a deferred fetch."""
+        k, items, feats, labels, ent = pending
         ent_np = np.asarray(ent[: len(items)])
         if k == self.n:
             exited = list(range(len(items)))
@@ -144,13 +171,11 @@ class BatchedEarlyExitServer:
         survivors = [j for j in range(len(items)) if j not in set(exited)]
 
         if exited:
-            # ONE gather + ONE device->host transfer for all exited maps
-            maps = np.asarray(jnp.take(labels, jnp.asarray(exited), axis=0))
-            for row, j in enumerate(exited):
-                self._results[items[j].uid] = {
-                    "label_map": maps[row],
-                    "n": (self.n + 1) if k == self.n else (k + 1),
-                }
+            maps = jnp.take(labels, jnp.asarray(exited), axis=0)
+            uids = [items[j].uid for j in exited]
+            self._pending_maps.append(
+                (uids, (self.n + 1) if k == self.n else (k + 1), maps)
+            )
         if survivors:
             surv = jnp.take(feats, jnp.asarray(survivors), axis=0)
             for row, j in enumerate(survivors):
@@ -160,25 +185,56 @@ class BatchedEarlyExitServer:
         progressed = True
         while progressed:
             progressed = False
+            # dispatch EVERY runnable micro-batch before resolving any gate:
+            # each resolve's blocking fetch then overlaps the other stages'
+            # in-flight compute (the double buffer)
+            wave = []
             for k in range(self.n + 1):
                 q = self._queues[k]
                 while len(q) >= self.B:
-                    self._run_stage(k, [q.pop(0) for _ in range(self.B)])
-                    progressed = True
-            if not full_only:
+                    wave.append(
+                        self._dispatch_stage(k, [q.pop(0) for _ in range(self.B)])
+                    )
+            if not wave and not full_only:
                 for k in range(self.n + 1):
                     q = self._queues[k]
                     if q:
-                        self._run_stage(k, [q.pop(0) for _ in range(len(q))])
-                        progressed = True
-                full_only = True  # after one forced pass, continue normally
+                        wave.append(
+                            self._dispatch_stage(k, [q.pop(0) for _ in range(len(q))])
+                        )
+            if wave:
+                self.wave_sizes.append(len(wave))
+            for p in wave:
+                self._resolve(p)
+                progressed = True
+
+    def _materialize(self):
+        for uids, n_exit, maps in self._pending_maps:
+            maps_np = np.asarray(maps)
+            for row, uid in enumerate(uids):
+                self._results[uid] = {"label_map": maps_np[row], "n": n_exit}
+        self._pending_maps = []
 
     def flush(self) -> dict[int, dict]:
         """Run all remaining partial batches; returns uid -> result."""
         while any(self._queues):
             self._drain(full_only=False)
+        self._materialize()
         out, self._results = self._results, {}
         return out
+
+    def stats(self) -> dict:
+        """Continuous-batching stats: per-stage run counts, slot occupancy,
+        dispatch-wave sizes (>1 = overlapped stages)."""
+        total_slots = self.filled_slots + self.padded_slots
+        return {
+            "stage_runs": self.stage_runs.tolist(),
+            "occupancy": self.filled_slots / max(total_slots, 1),
+            "padded_slots": self.padded_slots,
+            "waves": len(self.wave_sizes),
+            "mean_wave": float(np.mean(self.wave_sizes)) if self.wave_sizes else 0.0,
+            "avg_flops_per_image": self.avg_flops_per_image,
+        }
 
     @property
     def avg_flops_per_image(self) -> float:

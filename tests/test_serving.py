@@ -75,3 +75,23 @@ def test_matches_sequential_runner(server_args):
     for i, uid in enumerate(uids):
         assert res[uid]["n"] == seq[i]["n"]
         np.testing.assert_array_equal(res[uid]["label_map"], seq[i]["exit"])
+
+
+def test_serving_stats_and_deferred_maps(tiny_model, tiny_state):
+    """Round-3 double-buffered scheduler: stats() reports runs/occupancy/
+    waves, and deferred label-map materialization returns every result."""
+    from ee_semantic_segmentation_tpu.ee.serving import BatchedEarlyExitServer
+
+    images = np.random.RandomState(0).rand(10, 32, 32, 3).astype(np.float32)
+    server = BatchedEarlyExitServer(
+        tiny_model, tiny_state.params, tiny_state.batch_stats,
+        tau=0.97, batch_size=4, n_classes=5,
+    )
+    server.submit(images)
+    res = server.flush()
+    assert len(res) == 10
+    s = server.stats()
+    assert s["stage_runs"][0] >= 3  # 10 images / B=4 -> >= 3 stage-0 runs
+    assert 0 < s["occupancy"] <= 1
+    assert s["waves"] >= 1 and s["mean_wave"] >= 1
+    assert s["avg_flops_per_image"] > 0
