@@ -1,4 +1,13 @@
-.PHONY: test test-fast bench golden dryrun multihost lint
+.PHONY: test test-fast bench golden dryrun multihost lint tpu-smoke tpu-smoke-full placement-table
+
+tpu-smoke:       ## every wired Pallas kernel + masked engine on the real chip vs XLA (<2 min warm)
+	python tools/tpu_smoke.py
+
+tpu-smoke-full:  ## + the chunked (>2^16) sort
+	python tools/tpu_smoke.py --full
+
+placement-table: ## branch-placement boundary table across counting conventions
+	python tools/placement_parity.py
 
 test:            ## full suite (virtual 8-device CPU mesh; ~15-25 min cold)
 	python -m pytest tests/ -q

@@ -1,0 +1,180 @@
+#!/usr/bin/env python3
+"""TPU kernel smoke: run every WIRED Pallas kernel on the real chip and diff
+against the XLA path (VERDICT r02 #9).
+
+Interpret-mode CPU tests can't see the Mosaic bug class (bool lowering,
+compile hangs, tiling limits) that only appears on hardware — this makes
+those regressions a command instead of an archaeology session:
+
+  make tpu-smoke        # sort (2^16), upsample heads, masked engine
+  make tpu-smoke-full   # + the chunked sort (2^17: adds one merge compile)
+
+Exit 0 = all kernels compiled, ran, and matched XLA.  <2 min warm
+(compiles hit the persistent cache), ~5 min cold.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+PASS = []
+
+
+def check(name, fn):
+    t0 = time.perf_counter()
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — report and continue
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        PASS.append(False)
+        return
+    print(f"ok   {name} ({time.perf_counter() - t0:.1f}s)")
+    PASS.append(True)
+
+
+def _mismatch_frac(a, b):
+    return float(np.mean(np.asarray(a) != np.asarray(b)))
+
+
+def smoke_sort():
+    from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import sort_pallas
+
+    rng = np.random.RandomState(0)
+    key = jnp.asarray(rng.randn(4, 1 << 16).astype(np.float32))
+    pay = jnp.asarray(rng.randn(4, 1 << 16).astype(np.float32))
+    ks, ps = sort_pallas(key, pay)
+    kx, px = jax.lax.sort((key, pay), num_keys=1)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(kx))
+    # bitonic is unstable: payloads may differ only within exactly tied keys
+    ties = float(np.mean(np.asarray(kx)[:, 1:] == np.asarray(kx)[:, :-1]))
+    frac = _mismatch_frac(ps, px)
+    assert frac <= ties + 1e-9, (frac, ties)
+
+
+def smoke_sort_chunked():
+    from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import sort_pallas
+
+    rng = np.random.RandomState(1)
+    key = jnp.asarray(rng.randn(2, 1 << 17).astype(np.float32))
+    pay = jnp.asarray(rng.randn(2, 1 << 17).astype(np.float32))
+    ks, _ = sort_pallas(key, pay)
+    kx, _ = jax.lax.sort((key, pay), num_keys=1)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(kx))
+
+
+def smoke_upsample_argmax():
+    from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
+        upsample_argmax,
+        upsample_argmax_reference,
+    )
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 32, 32, 21).astype(np.float32))
+    got = upsample_argmax(x, (256, 256))
+    want = upsample_argmax_reference(x, (256, 256))
+    # MXU f32 rounding can flip exact near-ties vs the jnp path (~1e-6)
+    frac = _mismatch_frac(got, want)
+    assert frac < 1e-4, frac
+
+
+def smoke_upsample_entropy_argmax():
+    from ee_semantic_segmentation_tpu.ops.gating import norm_entropy
+    from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
+        upsample_entropy_argmax,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 32, 32, 21).astype(np.float32) * 2)
+    lab, ent = upsample_entropy_argmax(x, (256, 256))
+    up = jax.image.resize(x, (4, 256, 256, 21), method="bilinear")
+    want_ent = jax.vmap(lambda p: norm_entropy(p, 21))(jax.nn.softmax(up, -1))
+    np.testing.assert_allclose(np.asarray(ent), np.asarray(want_ent),
+                               rtol=1e-4, atol=1e-5)
+    frac = _mismatch_frac(lab, jnp.argmax(up, -1).astype(jnp.int32))
+    assert frac < 1e-4, frac
+
+
+def smoke_upsample_confusion():
+    from ee_semantic_segmentation_tpu.ops.metrics import confusion_counts
+    from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
+        upsample_argmax,
+        upsample_argmax_confusion,
+    )
+
+    rng = np.random.RandomState(4)
+    C = 21
+    x = jnp.asarray(rng.randn(4, 32, 32, C).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, C + 1, (4, 256, 256)).astype(np.int32))
+    got = np.asarray(upsample_argmax_confusion(x, labels, 3, (256, 256)))
+    maps = upsample_argmax(x, (256, 256))
+    tp, fp, fn = confusion_counts(maps, labels, C)
+    mask = (np.arange(4) < 3).astype(np.float32)[:, None]
+    want = np.stack([(np.asarray(v) * mask).sum(0) for v in (tp, fp, fn)])
+    # near-tie argmax flips move single counts between classes
+    assert np.abs(got - want).max() <= 16, np.abs(got - want).max()
+    assert abs(got[0].sum() + got[2].sum() - (want[0].sum() + want[2].sum())) <= 32
+
+
+def smoke_masked_engine():
+    from ee_semantic_segmentation_tpu.ee.masked import make_masked_gated_apply
+    from ee_semantic_segmentation_tpu.ee.sequential import EarlyExitRunner
+    from ee_semantic_segmentation_tpu.models.branchy_deepv3 import (
+        BranchyConfig,
+        BranchyDeepLabV3,
+    )
+    from ee_semantic_segmentation_tpu.parallel import create_train_state
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    cfg = BranchyConfig(
+        backbone_depth=50, img_dim=32, n_branches=1, segment_ends=(3,),
+        branch_channels=(256,), num_classes=5,
+    )
+    model = BranchyDeepLabV3(config=cfg)
+    state = create_train_state(
+        model, sgd_momentum(), jax.random.PRNGKey(7), jnp.zeros((8, 32, 32, 3)))
+    images = np.random.RandomState(3).rand(8, 32, 32, 3).astype(np.float32)
+    var = {"params": state.params, "batch_stats": state.batch_stats}
+    tau = 0.97
+    for pallas_head in (False, True):
+        fn = make_masked_gated_apply(model, var, tau=tau, n_classes=5,
+                                     pallas_head=pallas_head)
+        labels, exits = fn(jnp.asarray(images))
+        runner = EarlyExitRunner(model, state.params, state.batch_stats,
+                                 metric="ent", threshold=tau, n_classes=5)
+        for i in range(4):  # 4 images is plenty for a smoke
+            out = runner(images[i])
+            assert int(exits[i]) == out["n"], (pallas_head, i)
+            frac = _mismatch_frac(labels[i], out["exit"])
+            assert frac < 1e-3, (pallas_head, i, frac)
+
+
+def main():
+    full = "--full" in sys.argv
+    backend = jax.default_backend()
+    print(f"backend: {backend} ({jax.devices()[0].device_kind if jax.devices() else '?'})")
+    if backend != "tpu":
+        print("WARNING: not a TPU — kernels will run in interpret mode; this "
+              "does NOT exercise Mosaic")
+    t0 = time.perf_counter()
+    check("sort_pallas 2^16", smoke_sort)
+    check("upsample_argmax", smoke_upsample_argmax)
+    check("upsample_entropy_argmax", smoke_upsample_entropy_argmax)
+    check("upsample_argmax_confusion", smoke_upsample_confusion)
+    check("masked engine (xla + pallas heads)", smoke_masked_engine)
+    if full:
+        check("sort_pallas chunked 2^17", smoke_sort_chunked)
+    print(f"total {time.perf_counter() - t0:.1f}s; "
+          f"{sum(PASS)}/{len(PASS)} passed")
+    return 0 if all(PASS) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
