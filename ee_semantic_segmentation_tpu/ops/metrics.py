@@ -142,6 +142,13 @@ class img_mIoU:
         self.total += float(_img_miou_one(pred, tgt, self.num_classes))
         self.count += 1
 
+    def add_score(self, value: float, n: int = 1):
+        """Fold in already-computed per-image scores (the batched on-device
+        evaluators compute ``_img_miou_one`` inside their fused program and
+        stream scalars out — ee/batch_eval.br_evaluator_similarity)."""
+        self.total += float(value)
+        self.count += n
+
     def compute(self) -> float:
         return self.total / self.count if self.count > 0 else float("nan")
 

@@ -20,7 +20,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--img", type=int, default=512)
+    ap.add_argument("--img", type=int, nargs="+", default=[512],
+                    help="square side, or H W (e.g. --img 512 1024)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
@@ -34,17 +35,19 @@ def main():
     )
     from ee_semantic_segmentation_tpu.models.branchy_deepv3 import build_branchy_deeplabv3
 
+    dims = args.img if len(args.img) > 1 else args.img[0]
     model = build_branchy_deeplabv3(
-        depth=50, n=2, img_dim=args.img, count_branches=False, dtype=jnp.bfloat16
+        depth=50, n=2, img_dim=dims, count_branches=False, dtype=jnp.bfloat16
     )
+    H, W = model.config.img_hw
     variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, args.img, args.img, 3)), train=False
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=False
     )
     params, stats = variables["params"], variables.get("batch_stats", {})
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(args.batch, args.img, args.img, 3), jnp.float32)
-    labels = jnp.asarray(rng.randint(0, 21, (args.batch, args.img, args.img)), jnp.int32)
+    images = jnp.asarray(rng.rand(args.batch, H, W, 3), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 21, (args.batch, H, W)), jnp.int32)
 
     for name, mk in (("xla_head", make_fused_miou_step_fn),
                      ("pallas_head", make_pallas_miou_step_fn)):
@@ -65,7 +68,7 @@ def main():
         dt = time.perf_counter() - t0
         assert np.isfinite(v)
         print(json.dumps({
-            "metric": f"eval_{args.img}px_images_per_sec_per_chip",
+            "metric": f"eval_{H}x{W}_images_per_sec_per_chip",
             "head": name,
             "value": round(args.batch * args.iters / dt, 2),
             "unit": "images/sec",
