@@ -51,14 +51,16 @@ def _sort2(key: jnp.ndarray, pay: jnp.ndarray):
     # Measured on one v5e chip (256² b16 per-image Lovász step): 77.5 img/s
     # with the pallas sort vs 57.7 with lax.sort; standalone 336x65536:
     # 62 vs 86 us/row.  Keys match lax.sort exactly; tie order may differ.
-    # auto only engages the single-kernel size (P <= 2^16, seconds to
-    # compile); the chunked path for larger rows (1.17x at 2^18) costs a
-    # ~20 min first compile, so it stays behind an explicit 'pallas'.
+    # Chunked rows (P > 2^16, round-3 re-measurement with
+    # tools/bench_sort_compile.py): Lovász value+grad at 2^18 b16 runs
+    # 1.30x faster than lax.sort (260 vs 339 ms) AND compiles faster
+    # (100 vs 111 s — XLA builds the Mosaic kernels in parallel inside one
+    # program; round 2's "~20 min first compile" was sequential standalone
+    # kernel builds and is obsolete), so auto engages every sortable() size.
     mode = os.environ.get("EE_TPU_LOVASZ_SORT", "auto")
     P = key.shape[-1]
     use_pallas = sortable(P) and (
-        mode == "pallas"
-        or (mode == "auto" and P <= (1 << 16) and jax.default_backend() == "tpu")
+        mode == "pallas" or (mode == "auto" and jax.default_backend() == "tpu")
     )
     if use_pallas:
         from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import sort_pallas
@@ -133,7 +135,11 @@ def _class_loss_fwd_impl(errors, fg, valid):
         pay = iota_f * 4.0 + fg * 2.0 + valid
         neg_err, pay_s = _sort2(-errors, pay)
         pay_i = pay_s.astype(jnp.int32)
-        perm = jax.lax.shift_right_logical(pay_i, jnp.int32(2))
+        # keep the saved permutation in f32 (exact: perm < 2^22 here): the
+        # backward unsort then reuses the SAME f32-key sort kernel as the
+        # forward instead of instantiating an int32-key variant — halves the
+        # ~200 s/kernel Mosaic compile cost (tools/bench_sort_compile.py).
+        perm = jax.lax.shift_right_logical(pay_i, jnp.int32(2)).astype(jnp.float32)
         fg_s = ((pay_i & 2) >> 1).astype(jnp.float32)
         valid_s = (pay_i & 1).astype(jnp.float32)
     else:  # huge flat-batch case: positions no longer exact in f32
@@ -278,7 +284,11 @@ def _hinge_class_loss_fwd_impl(errors, fg, valid):
         pay = iota_f * 4.0 + fg * 2.0 + valid
         neg_err, pay_s = _sort2(-errors, pay)
         pay_i = pay_s.astype(jnp.int32)
-        perm = jax.lax.shift_right_logical(pay_i, jnp.int32(2))
+        # keep the saved permutation in f32 (exact: perm < 2^22 here): the
+        # backward unsort then reuses the SAME f32-key sort kernel as the
+        # forward instead of instantiating an int32-key variant — halves the
+        # ~200 s/kernel Mosaic compile cost (tools/bench_sort_compile.py).
+        perm = jax.lax.shift_right_logical(pay_i, jnp.int32(2)).astype(jnp.float32)
         fg_s = ((pay_i & 2) >> 1).astype(jnp.float32)
         valid_s = (pay_i & 1).astype(jnp.float32)
     else:
