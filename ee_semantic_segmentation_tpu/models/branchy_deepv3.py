@@ -145,6 +145,7 @@ class BranchyDeepLabV3(nn.Module):
     bn_momentum: float = 0.9
     axis_name: str | None = None
     remat: bool = False  # rematerialize trunk blocks (full-res training)
+    stem_s2d: bool = False  # exact space-to-depth stem conv (see resnet.py)
 
     def setup(self):
         cfg = self.config
@@ -161,7 +162,10 @@ class BranchyDeepLabV3(nn.Module):
             # trade FLOPs for HBM: recompute trunk activations in backward
             # (jax.checkpoint per block) — enables 2048x1024 training configs
             block_cls = nn.remat(block_cls, static_argnums=(2,))
-        self.stem = stem_cls(**common)
+        if self.stem_s2d and stem_cls is R.ResNetStem:
+            self.stem = stem_cls(s2d=True, **common)
+        else:
+            self.stem = stem_cls(**common)
         self.blocks = [
             block_cls(blk, name=f"block_{i}", **common)
             for i, blk in enumerate(spec.blocks)

@@ -24,6 +24,7 @@ import dataclasses
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ee_semantic_segmentation_tpu import flops as F
@@ -141,16 +142,84 @@ def resnet_block_specs(
     return BackboneSpec(depth=depth, blocks=tuple(blocks))
 
 
+class _S2DConv7x7(nn.Module):
+    """The stem's 7x7/2 conv computed as a 4x4/1 conv on space-to-depth input.
+
+    A conv with C_in=3 runs the MXU at ~5% of peak (3 of 128 contraction
+    lanes; measured in tools/bench_breakdown.py).  Rewriting
+    ``out[p,q] = sum_{u,v,c} W[u,v,c] x[2p+u-3, 2q+v-3, c]`` over 2x2
+    space-to-depth blocks ``x2[m,n,(di,dj,c)] = x[2m+di, 2n+dj, c]`` gives
+    an EXACT equivalent 4x4 stride-1 conv with C_in=12 and padding (2,1):
+    substituting ``u = 2a + di - 1`` maps tap ``u`` onto s2d offset
+    ``a-2``, a in 0..3 (the a=0,di=0 row falls outside the 7-tap support
+    and is zero).  4x the contraction depth, 1/4 the output positions ->
+    same MACs, 4x the arithmetic intensity.
+
+    Declares the SAME param as nn.Conv (``kernel`` (7,7,3,64)) so
+    checkpoints and the torchvision weight importer are layout-identical;
+    the rearrangement below is a tiny pad+reshape on the weights,
+    recomputed per step (9408 elements — noise).
+
+    MEASURED NEGATIVE on one v5e chip (tools/bench_breakdown.py --only
+    stem, 512² b32): 5.5 ms vs 4.3 ms plain.  The stem's 5%-MXU conv is
+    not the cost — the stem is HBM-bound on the conv-output/BN/maxpool
+    traffic, which this rewrite does not reduce, and the NHWC
+    space-to-depth input relayout adds ~1 ms.  Kept (off by default) as
+    the exact-equivalence experiment backing STATUS.md's roofline claim
+    that the early-stage gap is bandwidth, not MXU granularity.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 3, self.features),
+            jnp.float32,
+        )
+        N, H, W, C = x.shape
+        x2 = x.reshape(N, H // 2, 2, W // 2, 2, C)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(N, H // 2, W // 2, 4 * C)
+        # weight rearrangement as pure pad+reshape: u+1 = 2a+di maps the
+        # zero-front-padded 8-tap axis onto (a, di); channel order
+        # (di, dj, c) matches x2's space-to-depth order above.
+        Kf = self.features
+        w_pad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = (
+            w_pad.reshape(4, 2, 4, 2, C, Kf)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * C, Kf)
+        )
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype),
+            w2.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNetStem(nn.Module):
-    """conv7x7/2 + BN + ReLU + maxpool3x3/2 (torchvision stem)."""
+    """conv7x7/2 + BN + ReLU + maxpool3x3/2 (torchvision stem).
+
+    ``s2d=True`` computes the 7x7 conv via the exact space-to-depth
+    rewrite above (same params, same math, 4x arithmetic intensity).
+    """
 
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     axis_name: str | None = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.s2d:
+            x = _S2DConv7x7(features=64, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--branches", type=int, default=2)
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem conv (exact rewrite)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated component filter (e.g. stem,layer1)")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +53,8 @@ def main():
         depth=args.depth, n=args.branches, img_dim=dims,
         count_branches=False, dtype=jnp.bfloat16,
     )
+    if args.s2d:
+        model = model.clone(stem_s2d=True)
     cfg = model.config
     H, W = cfg.img_hw
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=False)
@@ -59,8 +65,12 @@ def main():
     rng = np.random.RandomState(0)
     N = args.batch
 
+    only = set(args.only.split(",")) if args.only else None
+
     def timeit(name, fn, x_shape, flops):
         """Chained-loop timing of fn on a random bf16 input of x_shape."""
+        if only is not None and name not in only and name != "full_lowres_forward":
+            return 0.0
         x = jnp.asarray(rng.rand(*x_shape), jnp.bfloat16)
 
         @jax.jit
@@ -140,9 +150,12 @@ def main():
 
     timeit("full_lowres_forward", full, (N, H, W, 3), total_fl)
 
-    t_full = results[-1]["ms"]
-    t_parts = sum(r["ms"] for r in results[:-2])  # exclude upsample + full
-    fl_total = sum(r["gflops_per_img"] for r in results[:-2])
+    full = next(r for r in results if r["component"] == "full_lowres_forward")
+    t_full = full["ms"]
+    parts = [r for r in results
+             if r["component"] not in ("full_lowres_forward", "upsample_1exit")]
+    t_parts = sum(r["ms"] for r in parts)
+    fl_total = sum(r["gflops_per_img"] for r in parts) or full["gflops_per_img"]
     # flops.py counts MACs (1 MAC = 2 FLOPs); v5e bf16 peak 197 TFLOPs/s
     # = 98.5 TMAC/s, so mxu_frac below is a true fraction of MXU peak.
     peak_tflops = 98.5
