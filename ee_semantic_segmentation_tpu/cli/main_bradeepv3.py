@@ -39,6 +39,12 @@ def build_parser():
     p.add_argument("-D", "--input_dim", type=int, nargs="+", default=[256],
                    help="square side, or H W for non-square (e.g. -D 512 1024)")
     p.add_argument("-b", "--batch_size", type=int, default=32)
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial partitioning: shard image height over an "
+                        "sp-way 'space' mesh axis (devices = dp*sp; GSPMD "
+                        "inserts conv halo exchanges). Use for full-res "
+                        "inputs whose activations exceed one chip's HBM; "
+                        "default 1 = pure data parallelism")
     return p
 
 
@@ -72,7 +78,7 @@ def make_dts_info(args, loss):
     train_set, val_set, test_set = hand.get_dataset(data_path, dataset)
 
     use_file = args.print_file or f"{dataset}_deepv3_msgs.txt"
-    return {
+    info = {
         "name": args.Name,
         "main_dir": og_dir,
         "res_dir": r_dir,
@@ -102,6 +108,13 @@ def make_dts_info(args, loss):
         "weighted_lr": False,
         "branch_params": None,
     }
+    if getattr(args, "sp", 1) > 1:
+        from ee_semantic_segmentation_tpu.parallel import make_mesh_2d
+
+        # ('data', 'space') mesh: trainer + eval steps pick it up via
+        # kwargs["mesh"] and shard image height with GSPMD halo exchange
+        info["mesh"] = make_mesh_2d(sp=args.sp)
+    return info
 
 
 def main(argv=None):

@@ -1,9 +1,14 @@
-"""Mesh construction and sharding helpers (1-D data parallelism).
+"""Mesh construction and sharding helpers (DP and DP x SP).
 
 The model (~60 M params) fits comfortably in one chip's HBM, so the right
-decomposition for this workload is pure DP over ICI (SURVEY.md §2); the
-helpers still go through ``jax.sharding`` so wider meshes (e.g. ('data',
-'model')) slot in without touching call sites.
+decomposition for batch workloads is pure DP over ICI (SURVEY.md §2).  For
+full-resolution Cityscapes-shaped inputs (e.g. 2048x1024), where the
+*activations* of even a single image exceed what a chip's HBM can hold at
+training time, ``make_mesh_2d`` adds a 'space' axis: images are sharded
+along H (PartitionSpec('data', 'space') on NHWC), and GSPMD inserts the
+halo exchanges every conv/pool window needs at shard edges as
+collective-permutes over ICI — no hand-written ring code, and the same
+jitted step runs on any (dp, sp) factorization.
 """
 
 from __future__ import annotations
@@ -17,6 +22,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(devices=None, axis: str = "data") -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(devices=None, dp: int | None = None, sp: int = 1) -> Mesh:
+    """('data', 'space') mesh: dp-way batch x sp-way image-height sharding.
+
+    ``dp=None`` infers dp = n_devices // sp.  sp=1 degenerates to pure DP
+    (with a trivial 'space' axis, so PartitionSpecs stay uniform)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if dp is None:
+        if len(devices) % sp:
+            raise ValueError(f"{len(devices)} devices not divisible by sp={sp}")
+        dp = len(devices) // sp
+    if dp * sp != len(devices):
+        raise ValueError(f"dp*sp = {dp}*{sp} != {len(devices)} devices")
+    return Mesh(np.asarray(devices).reshape(dp, sp), ("data", "space"))
 
 
 def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
@@ -62,6 +82,16 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def space_size(mesh: Mesh) -> int:
+    """Size of the 'space' axis (1 when the mesh has no such axis)."""
+    return int(mesh.shape["space"]) if "space" in mesh.shape else 1
+
+
+def batch_space_sharding(mesh: Mesh) -> NamedSharding:
+    """(N, H, ...) arrays: batch over 'data', image height over 'space'."""
+    return NamedSharding(mesh, P("data", "space"))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -77,6 +107,9 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     warning telling the user to pick a divisible batch size."""
     sh = data_sharding(mesh, axis)
     n = int(mesh.shape[axis])
+
+    n_sp = space_size(mesh)
+    sp_sh = batch_space_sharding(mesh) if n_sp > 1 else None
 
     def put(x):
         x = np.asarray(x)
@@ -96,6 +129,8 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
                     stacklevel=3,
                 )
             return jax.device_put(x, replicated_sharding(mesh))
+        if sp_sh is not None and x.ndim >= 2 and x.shape[1] % n_sp == 0:
+            return jax.device_put(x, sp_sh)
         return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)

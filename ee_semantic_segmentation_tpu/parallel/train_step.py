@@ -21,9 +21,11 @@ import jax.numpy as jnp
 import optax
 
 from ee_semantic_segmentation_tpu.parallel.mesh import (
+    batch_space_sharding,
     data_sharding,
     make_mesh,
     replicated_sharding,
+    space_size,
 )
 
 
@@ -61,17 +63,30 @@ def make_train_step(model, loss_fn: Callable, tx, mesh=None, donate: bool = True
     # Commit shardings *inside* the program (with_sharding_constraint) so
     # correctness does not depend on callers pre-committing via shard_batch:
     # batch sharded along 'data' (GSPMD inserts the psum gradient all-reduce
-    # through the sharded autodiff), params/opt replicated.  Shapes are static
-    # at trace time, so an uneven batch simply falls back to replication
-    # (correct, with shard_batch's one-time warning) instead of erroring.
+    # through the sharded autodiff), params/opt replicated.  On a 2-D
+    # ('data', 'space') mesh the image-height dim is additionally sharded
+    # over 'space' — GSPMD materializes conv/pool halo exchanges at shard
+    # edges as ICI collective-permutes, which is what makes full-res
+    # (2048x1024) training fit: per-device activation footprint scales as
+    # 1/(dp*sp).  Shapes are static at trace time, so an uneven batch (or a
+    # height that does not divide sp) simply falls back to the next-coarser
+    # sharding (correct, with shard_batch's one-time warning) instead of
+    # erroring.
     ds = data_sharding(mesh) if mesh is not None else None
     rs = replicated_sharding(mesh) if mesh is not None else None
     n_dev = int(mesh.shape["data"]) if mesh is not None else 0
+    n_sp = space_size(mesh) if mesh is not None else 1
+    dss = batch_space_sharding(mesh) if (mesh is not None and n_sp > 1) else None
 
     def commit_batch(x):
         if n_dev == 0:
             return x
-        sh = ds if x.shape[0] % n_dev == 0 else rs
+        if x.shape[0] % n_dev:
+            sh = rs
+        elif dss is not None and x.ndim >= 2 and x.shape[1] % n_sp == 0:
+            sh = dss
+        else:
+            sh = ds
         return jax.lax.with_sharding_constraint(x, sh)
 
     def step(state: TrainState, images, labels, lr):
@@ -112,14 +127,22 @@ def make_eval_step(model, mesh=None):
     """Jitted full multi-exit forward in eval mode -> (E, N, H, W, C).
 
     When a mesh is given, the input batch is committed to the 'data' axis
-    inside the program (uneven batches fall back to replication)."""
+    (plus 'space' over H on a 2-D mesh) inside the program; uneven batches
+    fall back to the next-coarser sharding."""
     ds = data_sharding(mesh) if mesh is not None else None
     rs = replicated_sharding(mesh) if mesh is not None else None
     n_dev = int(mesh.shape["data"]) if mesh is not None else 0
+    n_sp = space_size(mesh) if mesh is not None else 1
+    dss = batch_space_sharding(mesh) if (mesh is not None and n_sp > 1) else None
 
     def fwd(params, batch_stats, images):
         if n_dev:
-            sh = ds if images.shape[0] % n_dev == 0 else rs
+            if images.shape[0] % n_dev:
+                sh = rs
+            elif dss is not None and images.shape[1] % n_sp == 0:
+                sh = dss
+            else:
+                sh = ds
             images = jax.lax.with_sharding_constraint(images, sh)
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
