@@ -21,6 +21,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=512)
+    ap.add_argument("--width", type=int, default=None,
+                    help="image width for non-square (default: --img)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--loss", choices=["ce", "lovasz", "both"], default="both")
@@ -44,16 +46,18 @@ def main():
     from ee_semantic_segmentation_tpu.parallel import create_train_state, make_train_step
     from ee_semantic_segmentation_tpu.train.optim import branchy_lr_multipliers, sgd_momentum
 
+    W = args.width or args.img
+    img_dim = args.img if W == args.img else (args.img, W)
     model = build_branchy_deeplabv3(
-        depth=50, n=2, img_dim=args.img, count_branches=False, dtype=jnp.bfloat16
+        depth=50, n=2, img_dim=img_dim, count_branches=False, dtype=jnp.bfloat16
     )
     if args.remat:
-        model = model.replace(remat=True)
+        model = model.clone(remat=True)
     n_br = model.config.n_branches
     tx = sgd_momentum(multipliers=branchy_lr_multipliers(n_br, 0.01))
     state = create_train_state(
         model, tx, jax.random.PRNGKey(0),
-        jnp.zeros((args.batch, args.img, args.img, 3)),
+        jnp.zeros((args.batch, args.img, W, 3)),
     )
 
     lovasz = LovaszSoftmax(classes="present", ignore=21, n_branches=n_br,
@@ -69,8 +73,8 @@ def main():
     step = make_train_step(model, loss_fn, tx, donate=False)
 
     rnp = np.random.RandomState(0)
-    images = jnp.asarray(rnp.rand(args.batch, args.img, args.img, 3), jnp.float32)
-    labels_np = rnp.randint(0, 21, (args.batch, args.img, args.img)).astype(np.int32)
+    images = jnp.asarray(rnp.rand(args.batch, args.img, W, 3), jnp.float32)
+    labels_np = rnp.randint(0, 21, (args.batch, args.img, W)).astype(np.int32)
     labels_np[rnp.rand(*labels_np.shape) < 0.03] = 21
     labels = jnp.asarray(labels_np)
 
@@ -95,7 +99,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"train_{args.img}px_images_per_sec_per_chip",
+                "metric": f"train_{args.img}x{W}_images_per_sec_per_chip",
                 "value": round(args.batch * args.iters / dt, 2),
                 "unit": "images/sec",
                 "loss": args.loss,
