@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ee_semantic_segmentation_tpu.ops import losses as L
+from ee_semantic_segmentation_tpu.ops.losses import select_class
 from ee_semantic_segmentation_tpu.ops.lovasz import lovasz_softmax
 
 
@@ -132,7 +133,9 @@ class FocalLoss(BrSegLoss):
 
     def _compute_loss(self, y_pred, targets):
         log_probs = jax.nn.log_softmax(y_pred, axis=-1)
-        pt_log = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+        # clip reproduces take_along_axis's out-of-bounds clamp; the select
+        # form avoids the gather's scatter-add VJP (see ops/losses.py)
+        pt_log = select_class(log_probs, jnp.clip(targets, 0, y_pred.shape[-1] - 1))
         pt = jnp.exp(pt_log)
         loss = -((1.0 - pt) ** self.gamma) * pt_log
         if self.alpha is not None:

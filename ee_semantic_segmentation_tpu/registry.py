@@ -63,8 +63,9 @@ get_loss: dict[str, Callable] = {
     "x_entropy": lambda: (lambda p, y: cross_entropy(p, y)),
     "x_entropy_sum": lambda: (lambda p, y: cross_entropy(p, y, reduction="sum")),
     "nll": lambda: (
+        # select_class, not take_along_axis: gather-free VJP (ops/losses.py)
         lambda p, y: -jnp.mean(
-            jnp.take_along_axis(p, y[..., None].astype(jnp.int32), axis=-1)
+            SL.select_class(p, jnp.clip(y.astype(jnp.int32), 0, p.shape[-1] - 1))
         )
     ),
     **seg_losses,
