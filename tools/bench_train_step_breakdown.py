@@ -113,22 +113,25 @@ def main():
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
     timeit("fwd_train", fwd_train, variables, images)
 
-    # 3./4. loss on a precomputed stack
-    stack = model.apply(variables, images, train=False)
-    stack = jax.block_until_ready(stack)
+    # 3./4. loss on a precomputed stack.  The (E,N,H,W,C) f32 stack is ~1 GB
+    # at 512^2 b16 — only materialize it when a stack stage is requested, and
+    # free it afterwards, or the later whole-model stages OOM the chip.
+    if only is None or only & {"loss_value", "loss_vjp"}:
+        stack = jax.block_until_ready(model.apply(variables, images, train=False))
 
-    def loss_value(s, lab, n):
-        def body(i, c):
-            return loss_fn(s + c * 1e-12, lab) * 1e-12
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-    timeit("loss_value", loss_value, stack, labels)
+        def loss_value(s, lab, n):
+            def body(i, c):
+                return loss_fn(s + c * 1e-12, lab) * 1e-12
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        timeit("loss_value", loss_value, stack, labels)
 
-    def loss_vjp(s, lab, n):
-        def body(i, c):
-            g = jax.grad(lambda ss: loss_fn(ss, lab))(s + c * 1e-12)
-            return jnp.sum(g.astype(jnp.float32)) * 1e-12
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-    timeit("loss_vjp", loss_vjp, stack, labels)
+        def loss_vjp(s, lab, n):
+            def body(i, c):
+                g = jax.grad(lambda ss: loss_fn(ss, lab))(s + c * 1e-12)
+                return jnp.sum(g.astype(jnp.float32)) * 1e-12
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        timeit("loss_vjp", loss_vjp, stack, labels)
+        del stack
 
     # 5. forward + loss value (no backward)
     def fwd_loss(v, x, lab, n):
