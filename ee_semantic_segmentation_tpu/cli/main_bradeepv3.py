@@ -36,6 +36,12 @@ def build_parser():
     p.add_argument("-B", "--batch_loss", action="store_true", default=False,
                    help="force per-batch Lovász (the default; kept for "
                         "back-compat, overrides -P)")
+    p.add_argument("-K", "--max_present", type=int, default=None,
+                   help="Lovász: sort/score only the K most frequent present "
+                        "classes per image (the loss is sort-bound; exact "
+                        "when images have <= K present classes — typical VOC "
+                        "images have 2-5 of 21). Default: all classes "
+                        "(exact)")
     p.add_argument("-D", "--input_dim", type=int, nargs="+", default=[256],
                    help="square side, or H W for non-square (e.g. -D 512 1024)")
     p.add_argument("-b", "--batch_size", type=int, default=32)
@@ -128,6 +134,7 @@ def main(argv=None):
     loss = LovaszSoftmax(
         classes="present", ignore=void, n_branches=args.n_branches,
         per_image=args.per_image_loss and not args.batch_loss,
+        max_present=args.max_present,
     )
     info = make_dts_info(args, loss)
     ret = eval_deepv3(info)

@@ -147,12 +147,16 @@ class LovaszSoftmax:
     """Multi-exit Lovász (branchy_seg_losses.py:133-159): sum of per-exit
     losses, optionally weighted by ``linspace(0,1,n_exits+1)[1:]``."""
 
-    def __init__(self, classes="present", per_image=False, ignore=None, n_branches=0, prev_out=False):
+    def __init__(self, classes="present", per_image=False, ignore=None, n_branches=0,
+                 prev_out=False, max_present=None):
         self.classes = classes
         self.per_image = per_image
         self.ignore = ignore
         self.n = n_branches + 1
         self.prev_out = prev_out
+        # sort-bound training knob: score only the K most frequent present
+        # classes (exact when each image has <= K; see ops/lovasz.py)
+        self.max_present = max_present
 
     def update_n(self, n):
         self.n = n + 1
@@ -167,7 +171,8 @@ class LovaszSoftmax:
         targets = L._squeeze_target(targets)
         per_exit = jax.vmap(
             lambda p: lovasz_softmax(
-                p, targets, classes=self.classes, per_image=self.per_image, ignore=self.ignore
+                p, targets, classes=self.classes, per_image=self.per_image,
+                ignore=self.ignore, max_present=self.max_present,
             )
         )(y_pred[: self.n])
         if self.prev_out:

@@ -176,6 +176,7 @@ def lovasz_softmax_flat(
     labels: jnp.ndarray,
     classes: str | tuple = "present",
     valid: jnp.ndarray | None = None,
+    max_present: int | None = None,
 ) -> jnp.ndarray:
     """Multi-class Lovász-Softmax on flat pixels (lovaszsoftmax.py:172-200).
 
@@ -186,6 +187,15 @@ def lovasz_softmax_flat(
       classes: 'present' | 'all' | explicit tuple/list of class ids.
       valid: (P,) bool — False marks void pixels (already folded in by
         :func:`lovasz_softmax`); None means all valid.
+      max_present: with ``classes='present'``, sort/score only the K most
+        frequent present classes instead of all C (the loss is sort-bound;
+        the reference's Python ``continue`` over absent classes,
+        lovaszsoftmax.py:186-187, means it never pays for them either —
+        this restores that compute profile with static shapes).  Exact
+        whenever the image has <= K present classes (typical VOC images
+        have 2-5 of the 21); beyond K it covers the K largest-by-pixel-count
+        classes only, so keep it None (exact) unless training is
+        sort-bound.
 
     Returns: scalar loss.
     """
@@ -198,14 +208,28 @@ def lovasz_softmax_flat(
     else:
         valid_f = jnp.asarray(valid, probas.dtype)
 
-    if isinstance(classes, str):
+    compact = (
+        classes == "present" and max_present is not None and max_present < C
+    )
+    if compact:
+        # pixel count per class over valid pixels; class ids >= C (void
+        # conventions like VOC's 21) fall off the end of the histogram.
+        counts = jnp.zeros((C,), jnp.float32).at[labels].add(
+            valid_f, mode="drop"
+        )
+        # most-frequent present classes first, absent classes last
+        # (argsort is stable: ties and absents keep ascending class order)
+        class_ids = jnp.argsort(jnp.where(counts > 0, -counts, 1.0))[
+            : max_present
+        ]
+    elif isinstance(classes, str):
         class_ids = jnp.arange(C)
     else:
         class_ids = jnp.asarray(tuple(classes), jnp.int32)
 
     def per_class(c):
         fg = ((labels == c) & (valid_f > 0)).astype(jnp.float32)
-        pred = probas[:, c]
+        pred = jnp.take(probas, c, axis=1)
         errors = jnp.where(valid_f > 0, jnp.abs(fg - pred), _NEG_BIG)
         return _class_loss(errors, fg, valid_f), jnp.sum(fg) > 0
 
@@ -228,6 +252,7 @@ def lovasz_softmax(
     per_image: bool = False,
     ignore: int | None = None,
     apply_softmax: bool = False,
+    max_present: int | None = None,
 ) -> jnp.ndarray:
     """Multi-class Lovász-Softmax loss (lovaszsoftmax.py:154-169), NHWC.
 
@@ -240,6 +265,8 @@ def lovasz_softmax(
       per_image: average of per-image flat losses instead of one flat batch.
       ignore: void label id filtered from the computation (masked, not
         dropped — fixed shapes for TPU).
+      max_present: sort only the K most frequent present classes per
+        image/batch (see :func:`lovasz_softmax_flat`).
     """
     if probas.ndim == 3:  # (N, H, W) sigmoid-style -> single channel
         probas = probas[..., None]
@@ -251,11 +278,14 @@ def lovasz_softmax(
     valid = jnp.ones_like(flat_l, dtype=bool) if ignore is None else (flat_l != ignore)
 
     if per_image:
-        f = functools.partial(lovasz_softmax_flat, classes=classes)
+        f = functools.partial(
+            lovasz_softmax_flat, classes=classes, max_present=max_present
+        )
         losses = jax.vmap(lambda p, l, v: f(p, l, valid=v))(flat_p, flat_l, valid)
         return jnp.mean(losses)
     return lovasz_softmax_flat(
-        flat_p.reshape(-1, C), flat_l.reshape(-1), classes=classes, valid=valid.reshape(-1)
+        flat_p.reshape(-1, C), flat_l.reshape(-1), classes=classes,
+        valid=valid.reshape(-1), max_present=max_present,
     )
 
 

@@ -318,3 +318,63 @@ def test_lovasz_hinge_all_void_is_zero():
     logits = np.random.RandomState(1).randn(1, 3, 3).astype(np.float32)
     labels = np.full((1, 3, 3), 7, np.int64)
     assert float(lovasz_hinge(logits, labels, per_image=False, ignore=7)) == 0.0
+
+
+# ------------------------------------------------- present-class compaction
+def test_lovasz_max_present_exact_when_few_classes():
+    """max_present=K sorts only the K most frequent present classes; when an
+    image has <= K present classes the loss AND gradient equal the exact
+    (all-C) path bit-for-bit up to reduction association."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    n, c, h, w = 2, 21, 8, 9
+    logits = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    # only 4 distinct classes present (+ void=21)
+    labels = np.asarray([1, 5, 7, 16])[rng.randint(0, 4, (n, h, w))]
+    labels[rng.rand(n, h, w) < 0.1] = 21
+    labels = jnp.asarray(labels.astype(np.int32))
+
+    for per_image in (False, True):
+        exact = lambda x: lovasz_softmax(
+            x, labels, classes="present", per_image=per_image, ignore=21)
+        compact = lambda x: lovasz_softmax(
+            x, labels, classes="present", per_image=per_image, ignore=21,
+            max_present=8)
+        np.testing.assert_allclose(
+            float(compact(logits)), float(exact(logits)), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(lambda x: compact(x))(logits)),
+            np.asarray(jax.grad(lambda x: exact(x))(logits)),
+            rtol=1e-5, atol=1e-7)
+
+
+def test_lovasz_max_present_topk_truncation():
+    """With more present classes than K, the K most frequent are scored —
+    K=1 on a two-class scene equals the single-class list form."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(6)
+    n, c, h, w = 1, 6, 8, 8
+    logits = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    labels = np.full((n, h, w), 2, np.int32)
+    labels[:, :2, :] = 4  # class 4 on 25% of pixels, class 2 on 75%
+    labels = jnp.asarray(labels)
+
+    got = lovasz_softmax(logits, labels, classes="present", max_present=1)
+    want = lovasz_softmax(logits, labels, classes=(2,))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_branchy_lovasz_max_present_matches_exact(golden):
+    logits, labels = FX.random_logits(seed=3, exits=4, n=2, c=21, h=8, w=9)
+    pred = FX.nchw_to_nhwc(logits)
+    # restrict to 5 present classes (+ void) so K=8 covers them all
+    labels = np.asarray(labels)
+    labels = np.where(labels == 21, 21, np.asarray([0, 2, 9, 13, 20])[labels % 5])
+    bl = B.LovaszSoftmax(classes="present", ignore=21, n_branches=3,
+                         max_present=8)
+    ref = B.LovaszSoftmax(classes="present", ignore=21, n_branches=3)
+    np.testing.assert_allclose(
+        float(bl(pred, labels)), float(ref(pred, labels)), rtol=1e-5)

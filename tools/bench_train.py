@@ -28,6 +28,15 @@ def main():
     ap.add_argument("--loss", choices=["ce", "lovasz", "both"], default="both")
     ap.add_argument("--per_image", action="store_true",
                     help="per-image Lovász (the -P train CLI path)")
+    ap.add_argument("--max_present", type=int, default=None,
+                    help="Lovász present-class compaction K (the -K train "
+                         "CLI path): sort only the K most frequent present "
+                         "classes")
+    ap.add_argument("--classes_per_image", type=int, default=None,
+                    help="synthetic labels drawn from this many classes per "
+                         "image instead of all 21 (real VOC images have "
+                         "2-5) — makes --max_present exact AND shows its "
+                         "win; default keeps all-classes-present labels")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--accumulate", action="store_true",
                     help="accumulate the loss on device and fetch ONCE at "
@@ -61,7 +70,8 @@ def main():
     )
 
     lovasz = LovaszSoftmax(classes="present", ignore=21, n_branches=n_br,
-                           per_image=args.per_image)
+                           per_image=args.per_image,
+                           max_present=args.max_present)
     xent = BrXEntropyLoss(ignore_index=21, b_reduction="sum", n_exits=n_br + 1)
     if args.loss == "ce":
         loss_fn = xent
@@ -74,7 +84,14 @@ def main():
 
     rnp = np.random.RandomState(0)
     images = jnp.asarray(rnp.rand(args.batch, args.img, W, 3), jnp.float32)
-    labels_np = rnp.randint(0, 21, (args.batch, args.img, W)).astype(np.int32)
+    if args.classes_per_image:
+        # each image draws from its own small class palette (VOC-like)
+        labels_np = np.empty((args.batch, args.img, W), np.int32)
+        for b in range(args.batch):
+            palette = rnp.choice(21, args.classes_per_image, replace=False)
+            labels_np[b] = palette[rnp.randint(0, len(palette), (args.img, W))]
+    else:
+        labels_np = rnp.randint(0, 21, (args.batch, args.img, W)).astype(np.int32)
     labels_np[rnp.rand(*labels_np.shape) < 0.03] = 21
     labels = jnp.asarray(labels_np)
 
@@ -105,6 +122,8 @@ def main():
                 "loss": args.loss,
                 "remat": args.remat,
                 "accumulate": args.accumulate,
+                "max_present": args.max_present,
+                "classes_per_image": args.classes_per_image,
             }
         )
     )
