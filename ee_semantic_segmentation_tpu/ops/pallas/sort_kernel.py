@@ -209,7 +209,13 @@ def _rowwise_call(kernel, key3, pay3, interpret: bool):
     )(key3, pay3)
 
 
-_CHUNK = 1 << 16  # single-kernel sweet spot; Mosaic compile hangs above
+_CHUNK = 1 << 16  # single-kernel full-SORT sweet spot; Mosaic hangs above
+# Largest single merge-KERNEL row.  A merge is only m+1 unrolled passes
+# (18 at 2^17, vs 136+ for a full sort network, which is what hangs
+# Mosaic).  2^18 is out: Mosaic's per-pass stack temporaries put the
+# kernel at 23.46 MB scoped VMEM vs the 16 MB limit (measured on v5e);
+# 2^17 fits and is verified exact on-chip.
+_MERGE_MAX = 1 << 17
 
 
 def _sort_chunked(key, pay, interpret: bool):
@@ -218,17 +224,21 @@ def _sort_chunked(key, pay, interpret: bool):
     1. sort every 2^16 chunk with the single-row kernel (stages 1..16 of
        the global bitonic network; odd chunks then reversed to realize the
        alternating post-stage-16 directions);
-    2. for each outer stage s = 17..m: the cross-chunk passes
-       (d >= 2^16) are whole-chunk elementwise min/max in plain XLA
-       (the direction recursion collapses onto the chunk axis), and the
-       within-chunk tail (d = 2^15..1) is the VMEM merge kernel, with
-       per-chunk descending direction realized by the sign trick
-       (negate keys, merge ascending, negate back — exact for f32/int32).
+    2. for each outer stage s = 17..m: one VMEM merge kernel covers whole
+       blocks of up to _MERGE_MAX elements (per-block descending direction
+       realized by the sign trick: negate keys, merge ascending, negate
+       back — exact for f32/int32); only distances beyond the kernel's
+       coverage (blocks > _MERGE_MAX) run as whole-chunk elementwise
+       min/max passes in plain XLA (the direction recursion collapses onto
+       the chunk axis).  For the common 512² case (P=2^18) there are NO
+       XLA passes: chunk-sort, merge@2^17, merge@2^18 — three kernel
+       launches, one HBM round trip each.
     """
     B, P = key.shape
     nc = P // _CHUNK
     mc = nc.bit_length() - 1  # outer stages count
     R = _CHUNK // _LANES
+    merge_c = max(1, _MERGE_MAX // _CHUNK)  # chunks per merge-kernel row
 
     k3 = key.reshape(B * nc, R, _LANES)
     p3 = pay.reshape(B * nc, R, _LANES)
@@ -241,9 +251,13 @@ def _sort_chunked(key, pay, interpret: bool):
     p = jnp.where(flip[:, None], p[:, :, ::-1], p)
 
     for sc in range(1, mc + 1):  # outer stage s = 16 + sc
-        # cross-chunk passes: kc = sc-1 .. 0 in chunk units
+        mch = min(1 << sc, merge_c)  # chunks per merge row this stage
+        # cross-chunk XLA passes only at distances the merge kernel can't
+        # reach: kc = sc-1 .. log2(mch) in chunk units
         for kc in range(sc - 1, -1, -1):
             dc = 1 << kc
+            if dc < mch:
+                break
             g = nc // (2 * dc)
             kv = k.reshape(B, g, 2, dc, _CHUNK)
             pv = p.reshape(B, g, 2, dc, _CHUNK)
@@ -259,12 +273,15 @@ def _sort_chunked(key, pay, interpret: bool):
             p = jnp.stack(
                 [jnp.where(swap, pb, pa), jnp.where(swap, pa, pb)], axis=2
             ).reshape(B, nc, _CHUNK)
-        # within-chunk merge tail; chunk direction = (c >> sc) & 1
+        # merge kernel over rows of mch chunks (each such row is bitonic
+        # after the passes above); direction of the block containing chunk
+        # c at stage s is (c >> sc) & 1, constant across each merge row
         ci = jnp.arange(nc)
         csgn = (1 - 2 * ((ci >> sc) & 1)).astype(key.dtype)[None, :, None]
-        kneg = (k * csgn).reshape(B * nc, R, _LANES)
+        kneg = (k * csgn).reshape(B * (nc // mch), mch * R, _LANES)
         ks, ps = _rowwise_call(
-            _merge_kernel, kneg, p.reshape(B * nc, R, _LANES), interpret
+            _merge_kernel, kneg,
+            p.reshape(B * (nc // mch), mch * R, _LANES), interpret,
         )
         k = ks.reshape(B, nc, _CHUNK) * csgn
         p = ps.reshape(B, nc, _CHUNK)

@@ -58,6 +58,9 @@ def test_chunked_sort_matches_np(monkeypatch):
     import ee_semantic_segmentation_tpu.ops.pallas.sort_kernel as SK
 
     monkeypatch.setattr(SK, "_CHUNK", 1024)
+    # scale the merge-kernel cap too: P=2048/4096 run pure merge kernels,
+    # P=8192 (nc=8 > merge_c=4) exercises the XLA cross-pass fallback
+    monkeypatch.setattr(SK, "_MERGE_MAX", 4096)
     rng = np.random.RandomState(3)
     for B, P in [(2, 2048), (1, 4096), (2, 8192)]:
         k = jnp.asarray(rng.randn(B, P).astype(np.float32))
