@@ -312,8 +312,12 @@ def sort_pallas(key: jnp.ndarray, pay: jnp.ndarray, interpret: bool | None = Non
 def sortable(P: int) -> bool:
     """True when sort_pallas supports a row length of P.
 
-    P <= 2^16 runs the single-row kernel (a monolithic 2^17/2^18 kernel
-    hangs Mosaic's compile, >10 min); larger rows up to 2^20 (a 1024²
-    image) use the chunked sort+merge scheme whose kernels stay at 2^16.
+    P <= 2^16 runs the single-row kernel (a monolithic full-sort kernel
+    at 2^17+ hangs Mosaic's compile, >10 min); larger rows use the
+    chunked sort+merge scheme whose kernels stay at 2^16/2^17.  The cap
+    is 2^22 (a 2048x2048 image) — matching the packed-payload f32
+    exactness bound in ops/lovasz.py (4P - 1 <= 2^24); measured at 2^21
+    (2048x1024, the Cityscapes full-res training shape) the chunked sort
+    still beats lax.sort on a v5e chip.
     """
-    return 1024 <= P <= (1 << 20) and (P & (P - 1)) == 0
+    return 1024 <= P <= (1 << 22) and (P & (P - 1)) == 0

@@ -17,7 +17,9 @@ from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import (
 
 def test_sortable():
     assert sortable(1024) and sortable(65536) and sortable(262144)
+    assert sortable(1 << 21) and sortable(1 << 22)  # Cityscapes full-res
     assert not sortable(512) and not sortable(1536) and not sortable(1000)
+    assert not sortable(1 << 23)  # beyond the packed-payload f32 bound
 
 
 @pytest.mark.parametrize("R", [8, 32])
@@ -62,14 +64,19 @@ def test_chunked_sort_matches_np(monkeypatch):
     # P=8192 (nc=8 > merge_c=4) exercises the XLA cross-pass fallback
     monkeypatch.setattr(SK, "_MERGE_MAX", 4096)
     rng = np.random.RandomState(3)
-    for B, P in [(2, 2048), (1, 4096), (2, 8192)]:
-        k = jnp.asarray(rng.randn(B, P).astype(np.float32))
-        p = jnp.asarray(rng.rand(B, P).astype(np.float32))
-        ks, ps = SK._sort_chunked(k, p, interpret=True)
+    for B, P in [(2, 2048), (1, 4096), (2, 8192), (1, 16384)]:
+        kn = rng.randn(B, P).astype(np.float32)
+        pn = rng.rand(B, P).astype(np.float32)
+        ks, ps = SK._sort_chunked(jnp.asarray(kn), jnp.asarray(pn), interpret=True)
+        ks, ps = np.asarray(ks), np.asarray(ps)
         for b in range(B):
-            np.testing.assert_array_equal(np.asarray(ks)[b], np.sort(np.asarray(k)[b]))
-            order = np.argsort(np.asarray(k)[b], kind="stable")
-            np.testing.assert_allclose(np.asarray(ps)[b], np.asarray(p)[b][order])
+            np.testing.assert_array_equal(ks[b], np.sort(kn[b]))
+            # bitonic is unstable: payload order within exactly-tied keys
+            # is unspecified (randn f32 at P=2^14 does collide), so compare
+            # (key, payload) PAIRS under a canonical lexicographic order
+            got = np.lexsort((ps[b], ks[b]))
+            want = np.lexsort((pn[b], kn[b]))
+            np.testing.assert_array_equal(ps[b][got], pn[b][want])
     # int32 keys (backward-unsort shape)
     perm = np.stack([rng.permutation(2048) for _ in range(2)]).astype(np.int32)
     grad = rng.randn(2, 2048).astype(np.float32)

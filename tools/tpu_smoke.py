@@ -44,6 +44,18 @@ def _mismatch_frac(a, b):
     return float(np.mean(np.asarray(a) != np.asarray(b)))
 
 
+def _assert_pairs_equal(ks, ps, kx, px):
+    """Bitonic is unstable: payload order within exactly tied keys is
+    unspecified, so compare (key, payload) PAIRS under a canonical
+    lexicographic order — exact up to tie permutation, no slack bound."""
+    ks, ps, kx, px = (np.asarray(a) for a in (ks, ps, kx, px))
+    np.testing.assert_array_equal(ks, kx)
+    for b in range(ks.shape[0]):
+        got = np.lexsort((ps[b], ks[b]))
+        want = np.lexsort((px[b], kx[b]))
+        np.testing.assert_array_equal(ps[b][got], px[b][want])
+
+
 def smoke_sort():
     from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import sort_pallas
 
@@ -52,11 +64,7 @@ def smoke_sort():
     pay = jnp.asarray(rng.randn(4, 1 << 16).astype(np.float32))
     ks, ps = sort_pallas(key, pay)
     kx, px = jax.lax.sort((key, pay), num_keys=1)
-    np.testing.assert_array_equal(np.asarray(ks), np.asarray(kx))
-    # bitonic is unstable: payloads may differ only within exactly tied keys
-    ties = float(np.mean(np.asarray(kx)[:, 1:] == np.asarray(kx)[:, :-1]))
-    frac = _mismatch_frac(ps, px)
-    assert frac <= ties + 1e-9, (frac, ties)
+    _assert_pairs_equal(ks, ps, kx, px)
 
 
 def smoke_sort_chunked():
@@ -65,9 +73,9 @@ def smoke_sort_chunked():
     rng = np.random.RandomState(1)
     key = jnp.asarray(rng.randn(2, 1 << 17).astype(np.float32))
     pay = jnp.asarray(rng.randn(2, 1 << 17).astype(np.float32))
-    ks, _ = sort_pallas(key, pay)
-    kx, _ = jax.lax.sort((key, pay), num_keys=1)
-    np.testing.assert_array_equal(np.asarray(ks), np.asarray(kx))
+    ks, ps = sort_pallas(key, pay)
+    kx, px = jax.lax.sort((key, pay), num_keys=1)
+    _assert_pairs_equal(ks, ps, kx, px)
 
 
 def smoke_upsample_argmax():
