@@ -38,6 +38,11 @@ def main():
                          "2-5) — makes --max_present exact AND shows its "
                          "win; default keeps all-classes-present labels")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--n_branches", type=int, default=2,
+                    help="branch count (exits = n+1); driver config #3 is "
+                         "a 4-exit model -> --n_branches 3")
+    ap.add_argument("--n_classes", type=int, default=21,
+                    help="21 = VOC (+void 21), 19 = Cityscapes (+void 19)")
     ap.add_argument("--accumulate", action="store_true",
                     help="accumulate the loss on device and fetch ONCE at "
                          "the end (the trainer's round-3 epoch-loop "
@@ -57,8 +62,10 @@ def main():
 
     W = args.width or args.img
     img_dim = args.img if W == args.img else (args.img, W)
+    C = args.n_classes
     model = build_branchy_deeplabv3(
-        depth=50, n=2, img_dim=img_dim, count_branches=False, dtype=jnp.bfloat16
+        depth=50, n=args.n_branches, img_dim=img_dim, count_branches=False,
+        num_classes=C, dtype=jnp.bfloat16,
     )
     if args.remat:
         model = model.clone(remat=True)
@@ -69,10 +76,10 @@ def main():
         jnp.zeros((args.batch, args.img, W, 3)),
     )
 
-    lovasz = LovaszSoftmax(classes="present", ignore=21, n_branches=n_br,
+    lovasz = LovaszSoftmax(classes="present", ignore=C, n_branches=n_br,
                            per_image=args.per_image,
                            max_present=args.max_present)
-    xent = BrXEntropyLoss(ignore_index=21, b_reduction="sum", n_exits=n_br + 1)
+    xent = BrXEntropyLoss(ignore_index=C, b_reduction="sum", n_exits=n_br + 1)
     if args.loss == "ce":
         loss_fn = xent
     elif args.loss == "lovasz":
@@ -88,11 +95,11 @@ def main():
         # each image draws from its own small class palette (VOC-like)
         labels_np = np.empty((args.batch, args.img, W), np.int32)
         for b in range(args.batch):
-            palette = rnp.choice(21, args.classes_per_image, replace=False)
+            palette = rnp.choice(C, args.classes_per_image, replace=False)
             labels_np[b] = palette[rnp.randint(0, len(palette), (args.img, W))]
     else:
-        labels_np = rnp.randint(0, 21, (args.batch, args.img, W)).astype(np.int32)
-    labels_np[rnp.rand(*labels_np.shape) < 0.03] = 21
+        labels_np = rnp.randint(0, C, (args.batch, args.img, W)).astype(np.int32)
+    labels_np[rnp.rand(*labels_np.shape) < 0.03] = C
     labels = jnp.asarray(labels_np)
 
     # Plain sequential steps with a scalar fetch each (forces completion;
@@ -124,6 +131,8 @@ def main():
                 "accumulate": args.accumulate,
                 "max_present": args.max_present,
                 "classes_per_image": args.classes_per_image,
+                "n_branches": n_br,
+                "n_classes": C,
             }
         )
     )
