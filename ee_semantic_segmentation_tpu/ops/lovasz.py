@@ -211,7 +211,9 @@ def lovasz_softmax_flat(
         valid_f = jnp.asarray(valid, probas.dtype)
 
     compact = (
-        classes == "present" and max_present is not None and max_present < C
+        classes == "present"
+        and max_present is not None
+        and 0 < max_present < C
     )
     if compact:
         # pixel count per class over valid pixels; class ids >= C (void
