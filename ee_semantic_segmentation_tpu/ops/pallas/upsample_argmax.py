@@ -49,17 +49,45 @@ def _resize_matrix_np(n_in: int, n_out: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
-_TILE_BUDGET = 4 * (1 << 20)  # ~4 MB for the two (TH, W) running buffers
+_VMEM_LIMIT = 16 * (1 << 20)  # v5e scoped-vmem stack limit per kernel
 
 
-def _tile_rows(H: int, W: int) -> int | None:
-    """Largest row-tile that divides H within the VMEM budget; None when no
-    tiling fits (odd H with a huge W) — callers fall back to the jnp path
-    instead of risking a VMEM OOM with TH=H."""
+def _scoped_bytes(TH: int, H: int, W: int, h: int, w: int, C: int,
+                  n_temps: int) -> int:
+    """Estimate a kernel instance's scoped VMEM: Mosaic double-buffers
+    every grid-windowed operand (the wh row-tile, the fixed wwt and x
+    blocks, and one (TH, W)-sized row tile for the output or label), plus
+    ~n_temps live (TH, W) f32 temporaries, plus ~25% allocator slack.
+    Calibrated against a measured 19.52M OOM at (TH=128, H=1024, W=2048,
+    h=128, w=256, C=19) where the old running-buffer-only budget said 2 MB.
+    """
+    dbuf = 2 * (TH * h + w * W + C * h * w + TH * W)
+    return int((dbuf + n_temps * TH * W) * 4 * 1.25)
+
+
+_MAX_PIXELS = 1 << 19  # largest on-chip-verified output plane (512x1024)
+
+
+def _tile_rows(H: int, W: int, h: int, w: int, C: int,
+               n_temps: int = 4) -> int | None:
+    """Largest row-tile dividing H whose estimated scoped VMEM fits; None
+    when no tiling fits — callers fall back to the jnp path instead of
+    risking a Mosaic scoped-vmem OOM.
+
+    Hard pixel gate: at 1024x2048 Mosaic's scoped-vmem allocation stops
+    tracking the row tiling entirely — measured scoped usage matches the
+    FULL (N, H, W) int32 output (+ labels for the confusion kernel) being
+    staged in VMEM (18.1M for argmax, 44.5M for confusion at N=2,
+    INDEPENDENT of TH from 16 to 256), so no tile size can fit.  Shapes
+    up to 512x1024 are measured well-windowed (and faster than XLA);
+    beyond the verified envelope the jnp fallback keeps eval correct.
+    """
+    if H * W > _MAX_PIXELS:
+        return None
     for th in (256, 128, 64, 32, 16, 8):
-        if H % th == 0 and th * W * 8 <= _TILE_BUDGET:
+        if H % th == 0 and _scoped_bytes(th, H, W, h, w, C, n_temps) <= _VMEM_LIMIT:
             return th
-    if H * W * 8 <= _TILE_BUDGET:
+    if _scoped_bytes(H, H, W, h, w, C, n_temps) <= _VMEM_LIMIT:
         return H
     return None
 
@@ -103,7 +131,7 @@ def upsample_argmax(logits, out_hw: tuple[int, int], interpret: bool | None = No
     H, W = out_hw
     if (H, W) == (h, w):  # no resize needed
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    TH = _tile_rows(H, W)
+    TH = _tile_rows(H, W, h, w, C)
     if TH is None:  # no VMEM-safe tiling exists for this (H, W)
         return upsample_argmax_reference(logits, out_hw)
     wh = jnp.asarray(_resize_matrix_np(h, H))
@@ -192,7 +220,7 @@ def upsample_entropy_argmax(logits, out_hw: tuple[int, int],
         raise ValueError(
             f"normalized entropy needs n_classes >= 2 (base-C log), got C={C}")
     H, W = out_hw
-    TH = _tile_rows(H, W)
+    TH = _tile_rows(H, W, h, w, C, n_temps=6)
     if TH is None:  # no VMEM-safe tiling: jnp fallback (same semantics)
         from ee_semantic_segmentation_tpu.ops.gating import norm_entropy
 
@@ -305,7 +333,7 @@ def upsample_argmax_confusion(logits, labels, count, out_hw: tuple[int, int],
         interpret = jax.default_backend() != "tpu"
     N, h, w, C = logits.shape
     H, W = out_hw
-    TH = _tile_rows(H, W)
+    TH = _tile_rows(H, W, h, w, C, n_temps=6)
     if TH is None or (H, W) == (h, w):
         # jnp fallback: same semantics, standard XLA path
         from ee_semantic_segmentation_tpu.ops.metrics import confusion_counts
