@@ -319,6 +319,43 @@ def _up_argmax_conf_kernel(count_ref, wh_ref, wwt_ref, x_ref, lab_ref,
             out_ref[2, c] = acc_ref[2, c]
 
 
+def _confusion_tiled_xla(logits, labels, count, out_hw: tuple[int, int]):
+    """Row-tiled upsample+argmax+confusion in PLAIN XLA: the same separable
+    weight-matrix math as the Pallas kernel, but a ``lax.fori_loop`` over H
+    tiles so only one (N, TH, W, C) tile of the upsample ever exists.  Used
+    above the Pallas heads' pixel envelope (Mosaic's full-staging cliff) —
+    where the materializing fallback pays the full (N, H, W, C) f32 HBM
+    round trip (672 MB per exit at 1024x2048 b4).  Returns None when H has
+    no suitable tile divisor (caller materializes instead)."""
+    N, h, w, C = logits.shape
+    H, W = out_hw
+    TH = next((t for t in (256, 128, 64, 32) if H % t == 0), None)
+    if TH is None:
+        return None
+    T = H // TH
+    hi = jax.lax.Precision.HIGHEST  # match the Pallas head's tie behavior
+    wh_t = jnp.asarray(_resize_matrix_np(h, H)).reshape(T, TH, h)
+    wwt = jnp.asarray(_resize_matrix_np(w, W).T)
+    x = logits.astype(jnp.float32)
+    lab = jnp.asarray(labels, jnp.int32).reshape(N, T, TH, W)
+    mask = (jnp.arange(N) < count).astype(jnp.float32)
+
+    def body(t, acc):
+        wt = jax.lax.dynamic_index_in_dim(wh_t, t, 0, keepdims=False)
+        t1 = jnp.einsum("th,nhwc->ntwc", wt, x, precision=hi)
+        up = jnp.einsum("ntwc,wW->ntWc", t1, wwt, precision=hi)
+        idx = jnp.argmax(up, axis=-1).astype(jnp.int32)
+        lt = jax.lax.dynamic_index_in_dim(lab, t, 1, keepdims=False)
+        pred1 = jax.nn.one_hot(idx, C, dtype=jnp.float32)
+        gt1 = jax.nn.one_hot(lt, C, dtype=jnp.float32)  # void >= C -> zeros
+        tp = jnp.einsum("ntwc,ntwc,n->c", pred1, gt1, mask)
+        fp = jnp.einsum("ntwc,n->c", pred1, mask) - tp
+        fn = jnp.einsum("ntwc,n->c", gt1, mask) - tp
+        return acc + jnp.stack([tp, fp, fn])
+
+    return jax.lax.fori_loop(0, T, body, jnp.zeros((3, C), jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw", "interpret"))
 def upsample_argmax_confusion(logits, labels, count, out_hw: tuple[int, int],
                               interpret: bool | None = None):
@@ -335,6 +372,10 @@ def upsample_argmax_confusion(logits, labels, count, out_hw: tuple[int, int],
     H, W = out_hw
     TH = _tile_rows(H, W, h, w, C, n_temps=6)
     if TH is None or (H, W) == (h, w):
+        if (H, W) != (h, w):
+            tiled = _confusion_tiled_xla(logits, labels, count, out_hw)
+            if tiled is not None:
+                return tiled
         # jnp fallback: same semantics, standard XLA path
         from ee_semantic_segmentation_tpu.ops.metrics import confusion_counts
 

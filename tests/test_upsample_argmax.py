@@ -147,3 +147,34 @@ def test_confusion_kernel_matches_xla_counts():
         np.testing.assert_array_equal(got, want)
         # sanity: void pixels exist and contribute FP but never TP/FN
         assert got.shape == (3, C)
+
+
+def test_confusion_tiled_xla_matches_materializing_path():
+    """The row-tiled plain-XLA fallback (used above the Pallas pixel
+    envelope) matches the materializing resize path exactly on tie-free
+    inputs, including void labels and the count mask."""
+    import importlib
+
+    # NOTE: `import ...pallas.upsample_argmax as U` resolves the FUNCTION
+    # re-exported by ops/pallas/__init__ (it shadows the submodule name)
+    U = importlib.import_module(
+        "ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax")
+    from ee_semantic_segmentation_tpu.ops.metrics import confusion_counts
+
+    rng = np.random.RandomState(11)
+    C = 6
+    x = jnp.asarray(rng.randn(3, 16, 8, C).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, C + 1, (3, 64, 32)).astype(np.int32))
+
+    for count in (3, 1):
+        got = U._confusion_tiled_xla(x, labels, count, (64, 32))
+        assert got is not None
+        maps = upsample_argmax(x, (64, 32))
+        tp, fp, fn = confusion_counts(maps, labels, C)
+        mask = (np.arange(3) < count).astype(np.float32)[:, None]
+        want = np.stack([
+            (np.asarray(tp) * mask).sum(0),
+            (np.asarray(fp) * mask).sum(0),
+            (np.asarray(fn) * mask).sum(0),
+        ])
+        np.testing.assert_array_equal(np.asarray(got), want)
