@@ -203,6 +203,43 @@ def _up_ent_argmax_kernel(wh_ref, wwt_ref, x_ref, out_ref, ent_ref, acc_ref,
         ent_ref[n, 0] = acc_ref[0, 0] * inv
 
 
+def _entropy_tiled_xla(logits, out_hw: tuple[int, int]):
+    """Row-tiled plain-XLA upsample+argmax+mean-normalized-entropy (the
+    eval_br_ent gate) above the Pallas pixel envelope: only one
+    (N, TH, W, C) upsample tile exists at a time.  Label maps are written
+    tile-by-tile into the (N, H, W) carry; the per-image entropy sum
+    accumulates alongside.  Returns None when H has no tile divisor."""
+    N, h, w, C = logits.shape
+    H, W = out_hw
+    TH = next((t for t in (256, 128, 64, 32) if H % t == 0), None)
+    if TH is None:
+        return None
+    T = H // TH
+    hi = jax.lax.Precision.HIGHEST
+    wh_t = jnp.asarray(_resize_matrix_np(h, H)).reshape(T, TH, h)
+    wwt = jnp.asarray(_resize_matrix_np(w, W).T)
+    x = logits.astype(jnp.float32)
+
+    def body(t, carry):
+        maps, ent = carry
+        wt = jax.lax.dynamic_index_in_dim(wh_t, t, 0, keepdims=False)
+        t1 = jnp.einsum("th,nhwc->ntwc", wt, x, precision=hi)
+        up = jnp.einsum("ntwc,wW->ntWc", t1, wwt, precision=hi)
+        idx = jnp.argmax(up, axis=-1).astype(jnp.int32)
+        # pixel entropy of softmax(up): log z - s/z with m-shifted sums
+        m = jnp.max(up, axis=-1, keepdims=True)
+        e = jnp.exp(up - m)
+        z = jnp.sum(e, axis=-1)
+        s = jnp.sum(e * (up - m), axis=-1)
+        tile_ent = jnp.sum(jnp.log(z) - s / z, axis=(1, 2))  # (N,)
+        maps = jax.lax.dynamic_update_slice(maps, idx, (0, t * TH, 0))
+        return maps, ent + tile_ent
+
+    maps0 = jnp.zeros((N, H, W), jnp.int32)
+    maps, ent = jax.lax.fori_loop(0, T, body, (maps0, jnp.zeros((N,), jnp.float32)))
+    return maps, ent / (jnp.float32(H * W) * jnp.log(jnp.float32(C)))
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw", "interpret"))
 def upsample_entropy_argmax(logits, out_hw: tuple[int, int],
                             interpret: bool | None = None):
@@ -221,7 +258,11 @@ def upsample_entropy_argmax(logits, out_hw: tuple[int, int],
             f"normalized entropy needs n_classes >= 2 (base-C log), got C={C}")
     H, W = out_hw
     TH = _tile_rows(H, W, h, w, C, n_temps=6)
-    if TH is None:  # no VMEM-safe tiling: jnp fallback (same semantics)
+    if TH is None:  # above the Pallas envelope: tiled XLA, then jnp
+        if (H, W) != (h, w):
+            tiled = _entropy_tiled_xla(logits, out_hw)
+            if tiled is not None:
+                return tiled
         from ee_semantic_segmentation_tpu.ops.gating import norm_entropy
 
         up = jax.image.resize(

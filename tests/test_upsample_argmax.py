@@ -178,3 +178,26 @@ def test_confusion_tiled_xla_matches_materializing_path():
             (np.asarray(fn) * mask).sum(0),
         ])
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_entropy_tiled_xla_matches_materializing_path():
+    """The row-tiled entropy fallback == the materializing resize path:
+    identical label maps and per-image normalized entropies."""
+    import importlib
+
+    U = importlib.import_module(
+        "ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax")
+    from ee_semantic_segmentation_tpu.ops.gating import norm_entropy
+
+    rng = np.random.RandomState(12)
+    C = 5
+    x = jnp.asarray(rng.randn(2, 16, 8, C).astype(np.float32))
+    maps, ent = U._entropy_tiled_xla(x, (64, 32))
+
+    up = jax.image.resize(x, (2, 64, 32, C), method="bilinear")
+    want_maps = jnp.argmax(up, axis=-1).astype(jnp.int32)
+    probs = jax.nn.softmax(up, axis=-1)
+    want_ent = jax.vmap(lambda p: norm_entropy(p, C))(probs)
+    np.testing.assert_array_equal(np.asarray(maps), np.asarray(want_maps))
+    np.testing.assert_allclose(np.asarray(ent), np.asarray(want_ent),
+                               rtol=1e-5, atol=1e-7)
