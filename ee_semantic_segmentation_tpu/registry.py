@@ -122,3 +122,47 @@ act_funcs = {
     "celu": jax.nn.celu,
     "mish": jax.nn.mish,
 }
+
+
+# --------------------------------------------------------------- conv blocks
+def _conv_blks():
+    """Name -> block class (module_variables.py:26-32 ``conv_blks``; the
+    upstream ``conv_blocks`` module is missing from the snapshot — these
+    are the clean-room reconstructions in models/conv_blocks.py)."""
+    from ee_semantic_segmentation_tpu.models import conv_blocks as CB
+
+    return {
+        "InvertedResidual": CB.InvertedResidualBlk,
+        "InceptionBlk": CB.InceptionBlk,
+        "CIncepBlk": CB.CIncepBlk,
+        "HDConvBlk": CB.HDConvBlk,
+        "WaveBlk": CB.WaveBlk,
+    }
+
+
+def _get_mod():
+    """Name -> layer/block class (module_variables.py:34-37 ``get_mod``)."""
+    from ee_semantic_segmentation_tpu.models.layers import ConvLayer, DenseLayer
+
+    return {"DenseLayer": DenseLayer, "ConvLayer": ConvLayer, **_conv_blks()}
+
+
+def _conv_nd(rank: int):
+    import functools
+
+    import flax.linen as nn
+
+    def make(features, kernel_size=3, **kw):
+        ks = (kernel_size,) * rank if isinstance(kernel_size, int) else kernel_size
+        return nn.Conv(features, ks, **kw)
+
+    return make
+
+
+# name -> rank-n flax Conv factory (module_variables.py:135-139 ``get_conv``;
+# flax's nn.Conv is rank-agnostic, so these fix the kernel rank)
+get_conv: dict[str, Callable] = {
+    "1d": _conv_nd(1),
+    "2d": _conv_nd(2),
+    "3d": _conv_nd(3),
+}

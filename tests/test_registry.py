@@ -81,3 +81,39 @@ def test_initializers_and_acts():
     x = jnp.linspace(-2, 2, 9)
     for name, f in R.act_funcs.items():
         assert np.isfinite(np.asarray(f(x))).all(), name
+
+
+def test_conv_blks_registry_and_blocks():
+    """conv_blks/get_mod/get_conv (module_variables.py:26-37,135-139):
+    every block builds, runs in train mode (BN mutable), and produces the
+    expected channels-last shapes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ee_semantic_segmentation_tpu import registry as R
+
+    blks = R._conv_blks()
+    assert set(blks) == {"InvertedResidual", "InceptionBlk", "CIncepBlk",
+                         "HDConvBlk", "WaveBlk"}
+    mods = R._get_mod()
+    assert {"DenseLayer", "ConvLayer"} <= set(mods) and set(blks) <= set(mods)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 6), jnp.float32)
+    want_c = {"InvertedResidual": 16, "InceptionBlk": 16, "CIncepBlk": 16 + 6,
+              "HDConvBlk": 16, "WaveBlk": 16}
+    want_hw = {"WaveBlk": (4, 4)}
+    for name, cls in blks.items():
+        m = cls(features=16)
+        variables = m.init(jax.random.PRNGKey(0), x, train=False)
+        y, _ = m.apply(variables, x, train=True, mutable=["batch_stats"])
+        H, W = want_hw.get(name, (8, 8))
+        assert y.shape == (2, H, W, want_c[name]), (name, y.shape)
+        assert bool(jnp.all(jnp.isfinite(y))), name
+
+    # rank-n conv factories
+    for rank, key in ((1, "1d"), (2, "2d"), (3, "3d")):
+        conv = R.get_conv[key](4, kernel_size=3)
+        xi = jnp.zeros((2,) + (8,) * rank + (3,))
+        v = conv.init(jax.random.PRNGKey(0), xi)
+        assert conv.apply(v, xi).shape == (2,) + (8,) * rank + (4,)
