@@ -148,8 +148,6 @@ def _get_mod():
 
 
 def _conv_nd(rank: int):
-    import functools
-
     import flax.linen as nn
 
     def make(features, kernel_size=3, **kw):
