@@ -150,3 +150,20 @@ def test_mnv3_two_exit_cli_train_and_gated_eval(tmp_path, monkeypatch):
     df = pd.read_csv("mnv3_ent.csv")
     assert {"b1_mIoU", "b1_count", "b2_count", "mIoU_gl"} <= set(df.columns)
     assert df[["b1_count", "b2_count", "count_out"]].iloc[0].sum() == 16
+
+
+def test_max_present_flag_reaches_loss():
+    """-K/--max_present plumbs from the train parser into LovaszSoftmax
+    (and stays None — exact — by default)."""
+    from ee_semantic_segmentation_tpu.cli.main_bradeepv3 import build_parser
+    from ee_semantic_segmentation_tpu.ops.branchy import LovaszSoftmax
+
+    args = build_parser().parse_args(["-K", "8", "-P"])
+    assert args.max_present == 8
+    loss = LovaszSoftmax(classes="present", ignore=21, n_branches=args.n_branches,
+                         per_image=args.per_image_loss and not args.batch_loss,
+                         max_present=args.max_present)
+    assert loss.max_present == 8 and loss.per_image is True
+
+    default = build_parser().parse_args([])
+    assert default.max_present is None
