@@ -132,7 +132,10 @@ def upsample_argmax(logits, out_hw: tuple[int, int], interpret: bool | None = No
     if (H, W) == (h, w):  # no resize needed
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     TH = _tile_rows(H, W, h, w, C)
-    if TH is None:  # no VMEM-safe tiling exists for this (H, W)
+    if TH is None:  # above the Pallas envelope: tiled XLA, then jnp
+        tiled = _argmax_tiled_xla(logits, out_hw)
+        if tiled is not None:
+            return tiled
         return upsample_argmax_reference(logits, out_hw)
     wh = jnp.asarray(_resize_matrix_np(h, H))
     wwt = jnp.asarray(_resize_matrix_np(w, W).T)
@@ -201,6 +204,33 @@ def _up_ent_argmax_kernel(wh_ref, wwt_ref, x_ref, out_ref, ent_ref, acc_ref,
         # ent lives whole in SMEM (TPU lowering requires full-array blocks
         # there); each image writes its row at its last tile
         ent_ref[n, 0] = acc_ref[0, 0] * inv
+
+
+def _argmax_tiled_xla(logits, out_hw: tuple[int, int]):
+    """Row-tiled plain-XLA upsample+argmax above the Pallas pixel envelope:
+    the maps-only sibling of :func:`_entropy_tiled_xla` — only one
+    (N, TH, W, C) upsample tile exists at a time (the materializing
+    fallback is 1.3 GB transient at 1024x2048 b8).  Returns None when H
+    has no tile divisor."""
+    N, h, w, C = logits.shape
+    H, W = out_hw
+    TH = next((t for t in (256, 128, 64, 32) if H % t == 0), None)
+    if TH is None:
+        return None
+    T = H // TH
+    hi = jax.lax.Precision.HIGHEST
+    wh_t = jnp.asarray(_resize_matrix_np(h, H)).reshape(T, TH, h)
+    wwt = jnp.asarray(_resize_matrix_np(w, W).T)
+    x = logits.astype(jnp.float32)
+
+    def body(t, maps):
+        wt = jax.lax.dynamic_index_in_dim(wh_t, t, 0, keepdims=False)
+        t1 = jnp.einsum("th,nhwc->ntwc", wt, x, precision=hi)
+        up = jnp.einsum("ntwc,wW->ntWc", t1, wwt, precision=hi)
+        idx = jnp.argmax(up, axis=-1).astype(jnp.int32)
+        return jax.lax.dynamic_update_slice(maps, idx, (0, t * TH, 0))
+
+    return jax.lax.fori_loop(0, T, body, jnp.zeros((N, H, W), jnp.int32))
 
 
 def _entropy_tiled_xla(logits, out_hw: tuple[int, int]):

@@ -201,3 +201,18 @@ def test_entropy_tiled_xla_matches_materializing_path():
     np.testing.assert_array_equal(np.asarray(maps), np.asarray(want_maps))
     np.testing.assert_allclose(np.asarray(ent), np.asarray(want_ent),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_argmax_tiled_xla_matches_materializing_path():
+    """The maps-only row-tiled fallback == the materializing resize path."""
+    import importlib
+
+    U = importlib.import_module(
+        "ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax")
+
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(2, 16, 8, 5).astype(np.float32))
+    got = U._argmax_tiled_xla(x, (64, 32))
+    assert got is not None
+    want = upsample_argmax_reference(x, (64, 32))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
