@@ -74,6 +74,10 @@ class InceptionBlk(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.features < 4:
+            raise ValueError(
+                f"InceptionBlk needs features >= 4 (one channel per branch), "
+                f"got {self.features}")
         f = self.features // 4
         f3 = self.features - 3 * f
         b1 = ConvLayer(f, kernel_size=1, dtype=self.dtype)(x, train=train)
