@@ -42,6 +42,10 @@ def build_parser():
                         "when images have <= K present classes — typical VOC "
                         "images have 2-5 of 21). Default: all classes "
                         "(exact)")
+    p.add_argument("-X", "--exact_compaction", action="store_true", default=False,
+                   help="with -K: stay exact ALWAYS — a lax.cond falls back "
+                        "to the all-class Lovász whenever a batch exceeds K "
+                        "present classes (costs one extra branch compile)")
     p.add_argument("-D", "--input_dim", type=int, nargs="+", default=[256],
                    help="square side, or H W for non-square (e.g. -D 512 1024)")
     p.add_argument("-b", "--batch_size", type=int, default=32)
@@ -135,6 +139,7 @@ def main(argv=None):
         classes="present", ignore=void, n_branches=args.n_branches,
         per_image=args.per_image_loss and not args.batch_loss,
         max_present=args.max_present,
+        exact_fallback=args.exact_compaction,
     )
     info = make_dts_info(args, loss)
     ret = eval_deepv3(info)

@@ -148,7 +148,7 @@ class LovaszSoftmax:
     losses, optionally weighted by ``linspace(0,1,n_exits+1)[1:]``."""
 
     def __init__(self, classes="present", per_image=False, ignore=None, n_branches=0,
-                 prev_out=False, max_present=None):
+                 prev_out=False, max_present=None, exact_fallback=False):
         self.classes = classes
         self.per_image = per_image
         self.ignore = ignore
@@ -157,6 +157,13 @@ class LovaszSoftmax:
         # sort-bound training knob: score only the K most frequent present
         # classes (exact when each image has <= K; see ops/lovasz.py)
         self.max_present = max_present
+        # with exact_fallback the compacted path is exact ALWAYS: a
+        # lax.cond dispatches the whole multi-exit loss to the all-class
+        # path whenever any image (batch, if per_image=False) has more
+        # than max_present present classes.  One cond above every vmap —
+        # inside a vmap lax.cond lowers to select and would run BOTH
+        # paths.  Costs one extra compile of the all-class branch.
+        self.exact_fallback = exact_fallback
 
     def update_n(self, n):
         self.n = n + 1
@@ -167,17 +174,53 @@ class LovaszSoftmax:
             return jnp.asarray(np.linspace(0.0, 1.0, self.n + 1)[1:], jnp.float32)
         return jnp.ones((self.n,), jnp.float32)
 
-    def __call__(self, y_pred, targets):
-        targets = L._squeeze_target(targets)
+    def _loss_with(self, y_pred, targets, max_present):
         per_exit = jax.vmap(
             lambda p: lovasz_softmax(
                 p, targets, classes=self.classes, per_image=self.per_image,
-                ignore=self.ignore, max_present=self.max_present,
+                ignore=self.ignore, max_present=max_present,
             )
         )(y_pred[: self.n])
         if self.prev_out:
             return jnp.dot(self.weights, per_exit)
         return jnp.sum(per_exit)
+
+    def __call__(self, y_pred, targets):
+        targets = L._squeeze_target(targets)
+        C = y_pred.shape[-1]
+        compact = (
+            self.classes == "present"
+            and self.max_present is not None
+            and 0 < self.max_present < C
+        )
+        if not (compact and self.exact_fallback):
+            return self._loss_with(y_pred, targets, self.max_present)
+
+        # present-class census (labels are shared by all exits, so one
+        # cond covers the whole multi-exit loss)
+        flat = targets.reshape(targets.shape[0], -1)
+        valid = (
+            jnp.ones_like(flat, jnp.float32)
+            if self.ignore is None
+            else (flat != self.ignore).astype(jnp.float32)
+        )
+        if self.per_image:
+            counts = jax.vmap(
+                lambda l, v: jnp.zeros((C,), jnp.float32).at[l].add(v, mode="drop")
+            )(flat, valid)
+            n_present = jnp.max(jnp.sum(counts > 0, axis=-1))
+        else:
+            counts = jnp.zeros((C,), jnp.float32).at[flat.reshape(-1)].add(
+                valid.reshape(-1), mode="drop"
+            )
+            n_present = jnp.sum(counts > 0)
+        return jax.lax.cond(
+            n_present <= self.max_present,
+            lambda yp, t: self._loss_with(yp, t, self.max_present),
+            lambda yp, t: self._loss_with(yp, t, None),
+            y_pred,
+            targets,
+        )
 
 
 class Branchy_loss:

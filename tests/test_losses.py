@@ -378,3 +378,45 @@ def test_branchy_lovasz_max_present_matches_exact(golden):
     ref = B.LovaszSoftmax(classes="present", ignore=21, n_branches=3)
     np.testing.assert_allclose(
         float(bl(pred, labels)), float(ref(pred, labels)), rtol=1e-5)
+
+
+def test_branchy_lovasz_exact_fallback_dispatch():
+    """-X/exact_fallback: the compacted multi-exit loss dispatches (one
+    lax.cond above all vmaps) to the all-class path whenever the batch
+    exceeds K present classes — value AND grad match the exact loss in
+    both regimes, so -K -X is exact always."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    e, n, c, h, w = 3, 2, 12, 8, 9
+    logits = jnp.asarray(rng.randn(e, n, h, w, c).astype(np.float32))
+
+    few = np.asarray([1, 3, 7])[rng.randint(0, 3, (n, h, w))]
+    many = rng.randint(0, c, (n, h, w))  # ~12 present classes > K=4
+    mixed = np.stack([few[0], many[0]])  # one sparse image, one dense
+    for per_image in (False, True):
+        auto = B.LovaszSoftmax(classes="present", ignore=c, n_branches=e - 1,
+                               per_image=per_image, max_present=4,
+                               exact_fallback=True)
+        exact = B.LovaszSoftmax(classes="present", ignore=c, n_branches=e - 1,
+                                per_image=per_image)
+        for labels in (few, many, mixed):
+            labels = jnp.asarray(labels.astype(np.int32))
+            got, ggrad = jax.value_and_grad(lambda x: auto(x, labels))(logits)
+            want, wgrad = jax.value_and_grad(lambda x: exact(x, labels))(logits)
+            np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(ggrad), np.asarray(wgrad),
+                                       rtol=1e-4, atol=1e-7)
+
+
+def test_exact_compaction_flag_reaches_loss():
+    from ee_semantic_segmentation_tpu.cli.main_bradeepv3 import build_parser
+
+    args = build_parser().parse_args(
+        ["-K", "8", "-X"])
+    assert args.exact_compaction is True
+    bl = B.LovaszSoftmax(classes="present", n_branches=2,
+                         max_present=args.max_present,
+                         exact_fallback=args.exact_compaction)
+    assert bl.exact_fallback is True and bl.max_present == 8
