@@ -49,6 +49,14 @@ def build_parser():
     p.add_argument("-D", "--input_dim", type=int, nargs="+", default=[256],
                    help="square side, or H W for non-square (e.g. -D 512 1024)")
     p.add_argument("-b", "--batch_size", type=int, default=32)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: split each batch into this "
+                        "many micro-batches inside the jitted step (lax.scan "
+                        "value+grad per micro-batch, one SGD update with the "
+                        "mean gradient). Peak HBM scales with "
+                        "batch_size/accum_steps — lets full-res (2048x1024) "
+                        "training run effective batches beyond the b2 "
+                        "single-chip envelope")
     p.add_argument("--sp", type=int, default=1,
                    help="spatial partitioning: shard image height over an "
                         "sp-way 'space' mesh axis (devices = dp*sp; GSPMD "
@@ -117,6 +125,7 @@ def make_dts_info(args, loss):
         "freeze_from": None,
         "weighted_lr": False,
         "branch_params": None,
+        "accum_steps": getattr(args, "accum_steps", 1),
     }
     if getattr(args, "sp", 1) > 1:
         from ee_semantic_segmentation_tpu.parallel import make_mesh_2d

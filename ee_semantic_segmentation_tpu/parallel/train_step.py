@@ -54,10 +54,35 @@ def create_train_state(model, tx, rng, sample_input, mesh=None) -> TrainState:
     return state
 
 
-def make_train_step(model, loss_fn: Callable, tx, mesh=None, donate: bool = True):
+def make_train_step(
+    model,
+    loss_fn: Callable,
+    tx,
+    mesh=None,
+    donate: bool = True,
+    accum_steps: int = 1,
+):
     """Returns jitted ``step(state, images, labels, lr) -> (state, metrics)``.
 
     loss_fn(stacked_logits (E,N,H,W,C) | (N,H,W,C), labels) -> scalar.
+
+    ``accum_steps=A > 1`` runs gradient accumulation INSIDE the one jitted
+    program: the macro-batch (B, ...) is reshaped to (A, B/A, ...) and a
+    ``lax.scan`` computes value+grad per micro-batch, summing gradients on
+    device and applying ONE optimizer update with the mean gradient.  Only
+    one micro-batch's activations are live at a time, so peak HBM scales
+    with B/A — this is what lets full-res (2048x1024) training exceed the
+    single-chip b2 envelope (b4 OOMs without accumulation; see STATUS.md).
+    Semantics notes (both match torch-style accumulation):
+      * the mean of micro-batch losses equals the macro-batch loss exactly
+        for per-image-mean losses (per-image Lovász, CE); per-BATCH Lovász
+        sorts each micro-batch separately, so its accumulated gradient is
+        the mean of A smaller-batch gradients, not the joint-batch one;
+      * BatchNorm batch stats are computed per micro-batch (the running
+        averages advance A times per macro step).
+    Macro-batches whose leading dim is not divisible by A (e.g. a padded
+    final batch under a different static shape) fall back to the plain
+    single-pass body for that shape's trace.
     """
 
     # Commit shardings *inside* the program (with_sharding_constraint) so
@@ -89,24 +114,57 @@ def make_train_step(model, loss_fn: Callable, tx, mesh=None, donate: bool = True
             sh = ds
         return jax.lax.with_sharding_constraint(x, sh)
 
+    A = max(int(accum_steps or 1), 1)
+
+    def compute_loss(params, stats, images, labels, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        return loss_fn(out, labels), mutated["batch_stats"]
+
+    grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+
     def step(state: TrainState, images, labels, lr):
-        images = commit_batch(images)
-        labels = commit_batch(labels)
         if n_dev:
             state = jax.lax.with_sharding_constraint(state, rs)
         rng = jax.random.fold_in(state.rng, state.step)
 
-        def compute_loss(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images,
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )
-            return loss_fn(out, labels), mutated["batch_stats"]
+        if A > 1 and images.shape[0] % A == 0:
+            mb = images.shape[0] // A
+            im = images.reshape(A, mb, *images.shape[1:])
+            lb = labels.reshape(A, mb, *labels.shape[1:])
 
-        (loss, new_stats), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+            def micro(carry, xs):
+                stats, gsum, lsum, i = carry
+                images_i, labels_i = xs
+                images_i = commit_batch(images_i)
+                labels_i = commit_batch(labels_i)
+                (loss_i, stats), grads_i = grad_fn(
+                    state.params, stats, images_i, labels_i,
+                    jax.random.fold_in(rng, i),
+                )
+                gsum = jax.tree.map(jnp.add, gsum, grads_i)
+                return (stats, gsum, lsum + loss_i, i + 1), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, gsum, lsum, _), _ = jax.lax.scan(
+                micro,
+                (state.batch_stats, zeros, jnp.float32(0.0), jnp.int32(0)),
+                (im, lb),
+            )
+            grads = jax.tree.map(lambda g: g / A, gsum)
+            loss = lsum / A
+        else:
+            images = commit_batch(images)
+            labels = commit_batch(labels)
+            (loss, new_stats), grads = grad_fn(
+                state.params, state.batch_stats, images, labels, rng
+            )
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + lr * u, state.params, updates)
         new_state = state.replace(

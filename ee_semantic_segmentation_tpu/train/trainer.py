@@ -281,7 +281,10 @@ def train_deepv3(model, num_epochs, kwargs):
         state = create_train_state(model, tx, rng, sample, mesh=mesh)
 
     loss = kwargs["loss"]
-    step_fn = make_train_step(model, loss, tx, mesh=mesh)
+    step_fn = make_train_step(
+        model, loss, tx, mesh=mesh,
+        accum_steps=kwargs.get("accum_steps", 1),
+    )
 
     train_loader = DataLoader(
         kwargs["train_set"], batch_size, shuffle=True,

@@ -239,3 +239,98 @@ def test_initialize_multihost_raises_on_bad_coordinator(monkeypatch):
         monkeypatch.delenv(var, raising=False)
     mesh = initialize_multihost()
     assert mesh.devices.size >= 1
+
+
+class _NoBNBranchy2Exit:
+    """Minimal BN-free, dropout-free 2-exit model: accumulation parity must
+    be exact (BatchNorm batch stats are the one documented divergence)."""
+
+    def __new__(cls):
+        import flax.linen as nn
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                h = nn.Conv(8, (3, 3), padding="SAME")(x)
+                h = nn.relu(h)
+                e1 = nn.Conv(5, (1, 1))(h)
+                h = nn.Conv(8, (3, 3), padding="SAME")(h)
+                e2 = nn.Conv(5, (1, 1))(nn.relu(h))
+                return jnp.stack([e1, e2])
+
+        return M()
+
+
+def test_grad_accum_exact_parity_without_bn():
+    """accum_steps=A must produce the SAME update as the macro batch for
+    per-image-mean losses on a BN-free model (grads are linear in the loss;
+    mean of micro losses == macro loss)."""
+    from ee_semantic_segmentation_tpu.ops.xentropy import BrXEntropyLoss
+    from ee_semantic_segmentation_tpu.parallel import create_train_state, make_train_step
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    model = _NoBNBranchy2Exit()
+    tx = sgd_momentum()
+    state = create_train_state(model, tx, jax.random.PRNGKey(3), jnp.zeros((4, 16, 16, 3)))
+    loss_obj = BrXEntropyLoss(ignore_index=5, b_reduction="sum", n_exits=2)
+
+    rngnp = np.random.RandomState(2)
+    images = rngnp.rand(4, 16, 16, 3).astype(np.float32)
+    labels = rngnp.randint(0, 5, (4, 16, 16)).astype(np.int32)
+
+    plain = make_train_step(model, loss_obj, tx, donate=False)
+    accum = make_train_step(model, loss_obj, tx, donate=False, accum_steps=2)
+    s1, m1 = plain(state, images, labels, jnp.float32(0.05))
+    s2, m2 = accum(state, images, labels, jnp.float32(0.05))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accum_on_mesh_trains_and_falls_back(tiny_setup):
+    """accum_steps on the 8-device mesh: loss decreases over steps, params
+    stay replicated, and a batch not divisible by A uses the plain body."""
+    from ee_semantic_segmentation_tpu.ops.xentropy import BrXEntropyLoss
+    from ee_semantic_segmentation_tpu.parallel import (
+        create_train_state,
+        make_mesh,
+        make_train_step,
+        shard_batch,
+    )
+    from ee_semantic_segmentation_tpu.train.optim import sgd_momentum
+
+    model = tiny_setup
+    mesh = make_mesh()
+    tx = sgd_momentum()
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((8, 32, 32, 3)), mesh=mesh
+    )
+    loss_obj = BrXEntropyLoss(ignore_index=5, b_reduction="sum", n_exits=2)
+    step = make_train_step(model, loss_obj, tx, mesh=mesh, accum_steps=2)
+
+    rngnp = np.random.RandomState(4)
+    images = rngnp.rand(8, 32, 32, 3).astype(np.float32)
+    labels = rngnp.randint(0, 5, (8, 32, 32)).astype(np.int32)
+    b = shard_batch(mesh, {"image": images, "label": labels})
+    losses = []
+    for _ in range(4):
+        state, m = step(state, b["image"], b["label"], jnp.float32(0.05))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
+
+    # 5 % 2 != 0 -> plain single-pass body for that trace
+    state, m = step(
+        state,
+        rngnp.rand(5, 32, 32, 3).astype(np.float32),
+        rngnp.randint(0, 5, (5, 32, 32)).astype(np.int32),
+        jnp.float32(0.05),
+    )
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_accum_steps_flag_reaches_dts_info():
+    from ee_semantic_segmentation_tpu.cli.main_bradeepv3 import build_parser
+
+    args = build_parser().parse_args(["--accum_steps", "4", "-d", "synthetic"])
+    assert args.accum_steps == 4

@@ -38,6 +38,11 @@ def main():
                          "2-5) — makes --max_present exact AND shows its "
                          "win; default keeps all-classes-present labels")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--accum_steps", type=int, default=1,
+                    help="gradient accumulation micro-steps inside the "
+                         "jitted step (peak HBM ~ batch/accum_steps; lets "
+                         "full-res run effective batches past the b2 "
+                         "single-chip envelope)")
     ap.add_argument("--n_branches", type=int, default=2,
                     help="branch count (exits = n+1); driver config #3 is "
                          "a 4-exit model -> --n_branches 3")
@@ -87,7 +92,8 @@ def main():
     else:
         loss_fn = lambda out, lab: lovasz(out, lab) + 0.1 * xent(out, lab)
 
-    step = make_train_step(model, loss_fn, tx, donate=False)
+    step = make_train_step(model, loss_fn, tx, donate=False,
+                           accum_steps=args.accum_steps)
 
     rnp = np.random.RandomState(0)
     images = jnp.asarray(rnp.rand(args.batch, args.img, W, 3), jnp.float32)
@@ -129,6 +135,7 @@ def main():
                 "loss": args.loss,
                 "remat": args.remat,
                 "accumulate": args.accumulate,
+                "accum_steps": args.accum_steps,
                 "max_present": args.max_present,
                 "classes_per_image": args.classes_per_image,
                 "n_branches": n_br,
