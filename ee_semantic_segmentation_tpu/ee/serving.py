@@ -55,7 +55,7 @@ class BatchedEarlyExitServer:
         server = BatchedEarlyExitServer(model, params, batch_stats,
                                         tau=0.3, batch_size=8)
         server.submit(images)          # (N, H, W, C), any N
-        results = server.flush()       # list of dicts in submission order
+        results = server.flush()       # uid -> {label_map, n (exit index)}
     """
 
     def __init__(self, model, params, batch_stats, *, tau: float,
