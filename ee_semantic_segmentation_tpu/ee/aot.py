@@ -46,39 +46,55 @@ def export_fn(
     """Export ``fn(*example_args)`` to a :class:`jax.export.Exported`.
 
     ``example_args`` fix the static shapes/dtypes (only their avals are
-    used).  Weights referenced by closure are baked into the artifact as
-    constants.
+    used); pass :class:`jax.ShapeDtypeStruct` leaves directly to use
+    symbolic dimensions (shape polymorphism).  Weights referenced by
+    closure are baked into the artifact as constants.
     """
     platforms = tuple(platforms) if platforms else _default_platforms()
     specs = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+        lambda a: a if isinstance(a, jax.ShapeDtypeStruct)
+        else jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
         tuple(example_args),
     )
     return jax.export.export(jax.jit(fn), platforms=list(platforms))(*specs)
 
 
+def _batch_dim(batch_size: int | None):
+    """A concrete leading dim, or the symbolic 'b' when ``batch_size`` is
+    None — the exported artifact then serves ANY batch size (XLA compiles
+    one program per distinct size at serving time, from the same blob)."""
+    if batch_size is not None:
+        return int(batch_size)
+    (b,) = jax.export.symbolic_shape("b")
+    return b
+
+
 def export_eval_forward(
     model,
     variables,
-    batch_size: int,
+    batch_size: int | None,
     platforms: Sequence[str] | None = None,
 ):
     """Export the stacked all-exits eval forward ``images -> (E, N, H, W, C)``
     logits with the weights baked in (the batched evaluators' workload,
-    eval_mIoU.py:15-40)."""
+    eval_mIoU.py:15-40).
+
+    ``batch_size=None`` exports with a SYMBOLIC batch dimension: one
+    artifact serves any batch size (shape polymorphism; per-size XLA
+    compiles happen lazily at serving time)."""
     H, W = model.config.img_hw
 
     def fwd(images):
         return model.apply(variables, images, train=False)
 
-    x = jnp.zeros((batch_size, H, W, 3), jnp.float32)
+    x = jax.ShapeDtypeStruct((_batch_dim(batch_size), H, W, 3), jnp.float32)
     return export_fn(fwd, (x,), platforms)
 
 
 def export_gated(
     model,
     variables,
-    batch_size: int,
+    batch_size: int | None,
     *,
     tau: float,
     metric: str = "ent",
@@ -90,15 +106,20 @@ def export_gated(
     """Export the full masked gated early-exit engine
     ``images -> (labels (N,H,W) i32, exit_idx (N,) i32)`` — one program with
     the gate policy AND weights baked in (the serving counterpart of
-    ee_dnn_op_ne.py's per-image loop)."""
+    ee_dnn_op_ne.py's per-image loop).  ``batch_size=None`` exports a
+    symbolic batch dimension (not supported with ``pallas_head=True`` —
+    Mosaic kernels need static shapes)."""
     from ee_semantic_segmentation_tpu.ee.masked import _gated_forward_fn
 
     H, W = model.config.img_hw
+    if batch_size is None and pallas_head:
+        raise ValueError("symbolic batch (batch_size=None) is incompatible "
+                         "with pallas_head=True: Mosaic needs static shapes")
     fn = _gated_forward_fn(
         model, variables, tau=tau, n_classes=n_classes, skip=skip,
         pool="none", pool_size=1, pallas_head=pallas_head, metric=metric,
     )
-    x = jnp.zeros((batch_size, H, W, 3), jnp.float32)
+    x = jax.ShapeDtypeStruct((_batch_dim(batch_size), H, W, 3), jnp.float32)
     return export_fn(fn, (x,), platforms)
 
 
@@ -112,10 +133,14 @@ def save_exported(exp, path: str, manifest: dict | None = None) -> str:
         "fn_name": exp.fun_name,
         "platforms": list(exp.platforms),
         "in_avals": [
-            {"shape": list(a.shape), "dtype": str(a.dtype)} for a in exp.in_avals
+            {"shape": [d if isinstance(d, int) else str(d) for d in a.shape],
+             "dtype": str(a.dtype)}
+            for a in exp.in_avals
         ],
         "out_avals": [
-            {"shape": list(a.shape), "dtype": str(a.dtype)} for a in exp.out_avals
+            {"shape": [d if isinstance(d, int) else str(d) for d in a.shape],
+             "dtype": str(a.dtype)}
+            for a in exp.out_avals
         ],
         "calling_convention_version": exp.calling_convention_version,
         "bytes": len(blob),

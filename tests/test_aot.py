@@ -71,6 +71,42 @@ def test_exported_runs_without_model_code(exported_forward):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_symbolic_batch_export_serves_any_batch(tiny_model, tiny_state, tmp_path):
+    """batch_size=None exports a symbolic leading dim: the SAME artifact must
+    serve N=1, 2 and 5, matching the live model at each size."""
+    from ee_semantic_segmentation_tpu.ee.aot import (
+        export_eval_forward,
+        load_exported,
+        manifest_for,
+        save_exported,
+    )
+
+    variables = {"params": tiny_state.params, "batch_stats": tiny_state.batch_stats}
+    exp = export_eval_forward(tiny_model, variables, batch_size=None)
+    path = str(tmp_path / "tiny_poly")
+    save_exported(exp, path, {"head": "logits"})
+    loaded = load_exported(path)
+
+    assert manifest_for(path)["in_avals"][0]["shape"][0] == "b"
+    for n in (1, 2, 5):
+        x = jnp.asarray(np.random.RandomState(n).rand(n, 32, 32, 3), jnp.float32)
+        want = tiny_model.apply(variables, x, train=False)
+        got = loaded.call(x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_gated_symbolic_batch_rejects_pallas_head(tiny_model, tiny_state):
+    from ee_semantic_segmentation_tpu.ee.aot import export_gated
+
+    variables = {"params": tiny_state.params, "batch_stats": tiny_state.batch_stats}
+    with pytest.raises(ValueError, match="symbolic batch"):
+        export_gated(tiny_model, variables, None, tau=0.5, n_classes=5,
+                     pallas_head=True)
+
+
 def test_gated_export_matches_masked_engine(tiny_model, tiny_state, tmp_path):
     from ee_semantic_segmentation_tpu.ee.aot import (
         export_gated,

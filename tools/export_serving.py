@@ -31,6 +31,10 @@ def build_parser():
                    help="checkpoint path (with .json config sidecar)")
     p.add_argument("-o", "--out", required=True, help="artifact path prefix")
     p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--symbolic_batch", action="store_true", default=False,
+                   help="export a SYMBOLIC batch dimension: one artifact "
+                        "serves any batch size (per-size XLA compiles happen "
+                        "lazily at serving time); ignores -b")
     p.add_argument("--head", choices=("logits", "gated"), default="logits",
                    help="'logits': stacked all-exit forward; 'gated': the "
                         "masked early-exit engine (labels + exit index)")
@@ -62,22 +66,23 @@ def main(argv=None):
         args.model, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
     )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = None if args.symbolic_batch else args.batch_size
     meta = {
         "checkpoint": args.model,
         "head": args.head,
-        "batch_size": args.batch_size,
+        "batch_size": "symbolic" if batch is None else batch,
         "n_exits": model.config.n_branches + 1,
     }
     if args.head == "gated":
         exp = export_gated(
-            model, variables, args.batch_size, tau=args.threshold,
+            model, variables, batch, tau=args.threshold,
             metric=args.metric, skip=args.skip, n_classes=args.n_classes,
             platforms=args.platforms,
         )
         meta.update(tau=args.threshold, metric=args.metric, skip=args.skip)
     else:
         exp = export_eval_forward(
-            model, variables, args.batch_size, platforms=args.platforms
+            model, variables, batch, platforms=args.platforms
         )
     path = save_exported(exp, args.out, meta)
     print(f"exported {args.head} head for platforms {list(exp.platforms)} -> {path}")
