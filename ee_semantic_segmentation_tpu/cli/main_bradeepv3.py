@@ -46,6 +46,12 @@ def build_parser():
                    help="with -K: stay exact ALWAYS — a lax.cond falls back "
                         "to the all-class Lovász whenever a batch exceeds K "
                         "present classes (costs one extra branch compile)")
+    p.add_argument("-G", "--hist_bins", type=int, default=None,
+                   help="SORT-FREE histogram Lovász with this many error "
+                        "buckets (128 * a power of two, e.g. 1024): replaces "
+                        "the per-class sort with MXU histogram kernels. "
+                        "Approximate — per-class loss error is bounded by "
+                        "error_range/bins. Default: exact sorted Lovász")
     p.add_argument("-D", "--input_dim", type=int, nargs="+", default=[256],
                    help="square side, or H W for non-square (e.g. -D 512 1024)")
     p.add_argument("-b", "--batch_size", type=int, default=32)
@@ -149,6 +155,7 @@ def main(argv=None):
         per_image=args.per_image_loss and not args.batch_loss,
         max_present=args.max_present,
         exact_fallback=args.exact_compaction,
+        hist_bins=args.hist_bins,
     )
     info = make_dts_info(args, loss)
     ret = eval_deepv3(info)

@@ -148,7 +148,8 @@ class LovaszSoftmax:
     losses, optionally weighted by ``linspace(0,1,n_exits+1)[1:]``."""
 
     def __init__(self, classes="present", per_image=False, ignore=None, n_branches=0,
-                 prev_out=False, max_present=None, exact_fallback=False):
+                 prev_out=False, max_present=None, exact_fallback=False,
+                 hist_bins=None):
         self.classes = classes
         self.per_image = per_image
         self.ignore = ignore
@@ -157,6 +158,9 @@ class LovaszSoftmax:
         # sort-bound training knob: score only the K most frequent present
         # classes (exact when each image has <= K; see ops/lovasz.py)
         self.max_present = max_present
+        # sort-FREE approximation: histogram Lovász with this many error
+        # buckets (ops/lovasz.py _hist_class_loss); None = exact sorted path
+        self.hist_bins = hist_bins
         # with exact_fallback the compacted path is exact ALWAYS: a
         # lax.cond dispatches the whole multi-exit loss to the all-class
         # path whenever any image (batch, if per_image=False) has more
@@ -179,6 +183,7 @@ class LovaszSoftmax:
             lambda p: lovasz_softmax(
                 p, targets, classes=self.classes, per_image=self.per_image,
                 ignore=self.ignore, max_present=max_present,
+                hist_bins=self.hist_bins,
             )
         )(y_pred[: self.n])
         if self.prev_out:

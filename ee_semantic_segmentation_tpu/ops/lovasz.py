@@ -173,12 +173,103 @@ def _class_loss_bwd(res, ct):
 _class_loss.defvjp(_class_loss_fwd, _class_loss_bwd)
 
 
+# --------------------------------------------------- sort-free histogram path
+#
+# The Lovász weight vector ``lovasz_grad`` telescopes over runs of equal
+# errors: sum_j e_(j) * (J_j - J_{j-1}) only changes J at rank boundaries, so
+# with errors bucketed into ``bins`` descending quantiles the whole sorted
+# computation reduces to four weighted bucket histograms + O(bins) math —
+# no sort at all.  Within a bucket the (arbitrary, tie-like) order is taken
+# as foreground-first, and every pixel of a group gets that group's MEAN
+# Jaccard step, which keeps the summed gradient exact per bucket.  The loss
+# error is bounded by (max_err - min_err) / bins (the J sequence is monotone
+# with total variation <= 1); measured agreement is far tighter (~1e-6 at
+# bins=1024 on uniform errors, tests/test_losses.py).  APPROXIMATE — opt-in
+# via ``hist_bins`` (train CLI -G); the sorted path stays the reference-exact
+# default.  Replaces lovaszsoftmax.py:19-31's sort+cumsum with TPU-native
+# histogram MACs (ops/pallas/hist_kernel.py).
+
+
+def _hist_prepass(errors, valid, bins):
+    """Per-row (emax, inv_bucket_width) over valid errors; zeros if none."""
+    emax = jnp.max(jnp.where(valid > 0, errors, -jnp.inf))
+    emin = jnp.min(jnp.where(valid > 0, errors, jnp.inf))
+    any_valid = jnp.sum(valid) > 0
+    rng = jnp.maximum(emax - emin, 1e-12)
+    emax = jnp.where(any_valid, emax, 0.0)
+    inv_w = jnp.where(any_valid, bins / rng, 0.0)
+    return emax, inv_w
+
+
+def _hist_class_loss_impl(bins, errors, fg, valid):
+    from ee_semantic_segmentation_tpu.ops.pallas.hist_kernel import hist2d_weighted
+
+    emax, inv_w = _hist_prepass(errors, valid, bins)
+
+    hist = hist2d_weighted(
+        errors[None], (fg * valid)[None], emax[None], inv_w[None], bins=bins
+    )[0]
+    n, f, S, Sf = hist
+    gts = jnp.sum(f)
+    N_end = jnp.cumsum(n)
+    F_end = jnp.cumsum(f)
+    N_start = N_end - n
+    F_start = F_end - f
+
+    def J(cnt, cfg):
+        inter = gts - cfg
+        union = gts + cnt - cfg
+        j = 1.0 - jnp.where(union > 0, inter / jnp.maximum(union, 1e-30), 0.0)
+        return jnp.where(cnt > 0, j, 0.0)  # J(0) := 0 (the prepend in lovasz_grad)
+
+    J_start = J(N_start, F_start)
+    J_mid = J(N_start + f, F_start + f)
+    J_end = J(N_end, F_end)
+    c = n - f
+    g_fg = jnp.where(f > 0, (J_mid - J_start) / jnp.maximum(f, 1e-30), 0.0)
+    g_bg = jnp.where(c > 0, (J_end - J_mid) / jnp.maximum(c, 1e-30), 0.0)
+    loss = jnp.dot(g_fg, Sf) + jnp.dot(g_bg, S - Sf)
+    return loss, (emax, inv_w, jnp.stack([g_fg, g_bg]))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hist_class_loss(bins, errors, fg, valid):
+    """Histogram Lovász for one class over flat pixels (see block comment).
+
+    Same contract as :func:`_class_loss`; d loss / d errors[p] is the
+    per-bucket mean Jaccard step of p's (bucket, fg) group — the histogram
+    analogue of the reference's detached ``Variable(grad)``
+    (lovaszsoftmax.py:199)."""
+    loss, _ = _hist_class_loss_impl(bins, errors, fg, valid)
+    return loss
+
+
+def _hist_class_loss_fwd(bins, errors, fg, valid):
+    loss, (emax, inv_w, tables) = _hist_class_loss_impl(bins, errors, fg, valid)
+    return loss, (errors, fg * valid, emax, inv_w, tables)
+
+
+def _hist_class_loss_bwd(bins, res, ct):
+    from ee_semantic_segmentation_tpu.ops.pallas.hist_kernel import table_lookup
+
+    errors, fgv, emax, inv_w, tables = res
+    w = table_lookup(
+        errors[None], fgv[None], emax[None], inv_w[None], tables[None], bins=bins
+    )[0]
+    zeros = jnp.zeros_like(w)
+    return w * ct, zeros, zeros
+
+
+_hist_class_loss.defvjp(_hist_class_loss_fwd, _hist_class_loss_bwd)
+
+
 def lovasz_softmax_flat(
     probas: jnp.ndarray,
     labels: jnp.ndarray,
     classes: str | tuple = "present",
     valid: jnp.ndarray | None = None,
     max_present: int | None = None,
+    hist_bins: int | None = None,
 ) -> jnp.ndarray:
     """Multi-class Lovász-Softmax on flat pixels (lovaszsoftmax.py:172-200).
 
@@ -198,6 +289,10 @@ def lovasz_softmax_flat(
         have 2-5 of the 21); beyond K it covers the K largest-by-pixel-count
         classes only, so keep it None (exact) unless training is
         sort-bound.
+      hist_bins: use the sort-free histogram Lovász with this many error
+        buckets instead of the exact sorted form (see the block comment at
+        :func:`_hist_class_loss`).  Approximate: loss error is bounded by
+        (max_err - min_err) / hist_bins per class.  None (default) = exact.
 
     Returns: scalar loss.
     """
@@ -231,10 +326,20 @@ def lovasz_softmax_flat(
     else:
         class_ids = jnp.asarray(tuple(classes), jnp.int32)
 
+    if hist_bins is not None:
+        from ee_semantic_segmentation_tpu.ops.pallas.hist_kernel import hist_bins_ok
+
+        if not hist_bins_ok(hist_bins):
+            raise ValueError(
+                f"hist_bins={hist_bins} must be 128 * a power of two"
+            )
+
     def per_class(c):
         fg = ((labels == c) & (valid_f > 0)).astype(jnp.float32)
         pred = jnp.take(probas, c, axis=1)
         errors = jnp.where(valid_f > 0, jnp.abs(fg - pred), _NEG_BIG)
+        if hist_bins is not None:
+            return _hist_class_loss(hist_bins, errors, fg, valid_f), jnp.sum(fg) > 0
         return _class_loss(errors, fg, valid_f), jnp.sum(fg) > 0
 
     losses, present = jax.vmap(per_class)(class_ids)
@@ -257,6 +362,7 @@ def lovasz_softmax(
     ignore: int | None = None,
     apply_softmax: bool = False,
     max_present: int | None = None,
+    hist_bins: int | None = None,
 ) -> jnp.ndarray:
     """Multi-class Lovász-Softmax loss (lovaszsoftmax.py:154-169), NHWC.
 
@@ -271,6 +377,8 @@ def lovasz_softmax(
         dropped — fixed shapes for TPU).
       max_present: sort only the K most frequent present classes per
         image/batch (see :func:`lovasz_softmax_flat`).
+      hist_bins: opt into the sort-free histogram Lovász approximation with
+        this many error buckets (see :func:`lovasz_softmax_flat`).
     """
     if probas.ndim == 3:  # (N, H, W) sigmoid-style -> single channel
         probas = probas[..., None]
@@ -283,13 +391,14 @@ def lovasz_softmax(
 
     if per_image:
         f = functools.partial(
-            lovasz_softmax_flat, classes=classes, max_present=max_present
+            lovasz_softmax_flat, classes=classes, max_present=max_present,
+            hist_bins=hist_bins,
         )
         losses = jax.vmap(lambda p, l, v: f(p, l, valid=v))(flat_p, flat_l, valid)
         return jnp.mean(losses)
     return lovasz_softmax_flat(
         flat_p.reshape(-1, C), flat_l.reshape(-1), classes=classes,
-        valid=valid.reshape(-1), max_present=max_present,
+        valid=valid.reshape(-1), max_present=max_present, hist_bins=hist_bins,
     )
 
 

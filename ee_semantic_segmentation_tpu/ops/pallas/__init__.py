@@ -15,6 +15,10 @@ schedules poorly:
   the Lovász training step is sort-bound; one row fits entirely in VMEM so
   the whole network runs at register/VMEM bandwidth instead of lax.sort's
   multi-pass HBM streaming.
+* ``hist_kernel`` — weighted bucket histograms + per-bucket table lookups
+  as MXU one-hot contractions: the sort-FREE histogram Lovász path
+  (ops/lovasz.py ``hist_bins``) needs no sort at all — O(bins) MACs per
+  pixel instead of O(log^2 P) VMEM sweeps per row.
 
 Round-1 standalone gating kernels (softmax-entropy, argmax-confusion on
 full-res maps) consistently lost to XLA's own fusion (C=21 wastes 107 of
@@ -26,6 +30,11 @@ Each kernel has a reference jnp implementation it is tested against
 (``interpret=True`` on CPU; compiled + compared on TPU via `make tpu-smoke`).
 """
 
+from ee_semantic_segmentation_tpu.ops.pallas.hist_kernel import (
+    hist2d_weighted,
+    hist_bins_ok,
+    table_lookup,
+)
 from ee_semantic_segmentation_tpu.ops.pallas.sort_kernel import (
     sort_pallas,
     sortable,

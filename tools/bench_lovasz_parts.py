@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--classes", type=int, default=21)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--only", default=None)
+    ap.add_argument("--hist_bins", type=int, default=None,
+                    help="also time the sort-free histogram Lovász "
+                         "(loss_value_hist / loss_vjp_hist) at this bin count")
     args = ap.parse_args()
 
     import jax
@@ -102,6 +105,23 @@ def main():
             return jnp.sum(g.astype(jnp.float32)) * 1e-12
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
     timeit("loss_vjp", loss_vjp, stack, labels)
+
+    if args.hist_bins:
+        hist_fn = LovaszSoftmax(classes="present", ignore=C, n_branches=E - 1,
+                                per_image=True, hist_bins=args.hist_bins)
+
+        def loss_value_hist(s, lab, n):
+            def body(i, c):
+                return hist_fn(s + c * 1e-12, lab) * 1e-12
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        timeit("loss_value_hist", loss_value_hist, stack, labels)
+
+        def loss_vjp_hist(s, lab, n):
+            def body(i, c):
+                g = jax.grad(lambda ss: hist_fn(ss, lab))(s + c * 1e-12)
+                return jnp.sum(g.astype(jnp.float32)) * 1e-12
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        timeit("loss_vjp_hist", loss_vjp_hist, stack, labels)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,10 @@ def main():
                     help="Lovász present-class compaction K (the -K train "
                          "CLI path): sort only the K most frequent present "
                          "classes")
+    ap.add_argument("--hist_bins", type=int, default=None,
+                    help="SORT-FREE histogram Lovász with this many error "
+                         "buckets (the -G train CLI path); approximate, "
+                         "replaces the per-class sort with MXU histograms")
     ap.add_argument("--classes_per_image", type=int, default=None,
                     help="synthetic labels drawn from this many classes per "
                          "image instead of all 21 (real VOC images have "
@@ -83,7 +87,8 @@ def main():
 
     lovasz = LovaszSoftmax(classes="present", ignore=C, n_branches=n_br,
                            per_image=args.per_image,
-                           max_present=args.max_present)
+                           max_present=args.max_present,
+                           hist_bins=args.hist_bins)
     xent = BrXEntropyLoss(ignore_index=C, b_reduction="sum", n_exits=n_br + 1)
     if args.loss == "ce":
         loss_fn = xent
@@ -137,6 +142,7 @@ def main():
                 "accumulate": args.accumulate,
                 "accum_steps": args.accum_steps,
                 "max_present": args.max_present,
+                "hist_bins": args.hist_bins,
                 "classes_per_image": args.classes_per_image,
                 "n_branches": n_br,
                 "n_classes": C,

@@ -26,9 +26,12 @@ import jax
 import jax.numpy as jnp
 
 PASS = []
+ONLY = None  # --only <substr>: run just the matching checks
 
 
 def check(name, fn):
+    if ONLY is not None and ONLY not in name:
+        return
     t0 = time.perf_counter()
     try:
         fn()
@@ -131,6 +134,48 @@ def smoke_upsample_confusion():
     assert abs(got[0].sum() + got[2].sum() - (want[0].sum() + want[2].sum())) <= 32
 
 
+def smoke_hist_lovasz():
+    from ee_semantic_segmentation_tpu.ops.pallas import hist_kernel as hk
+
+    rng = np.random.RandomState(5)
+    BINS, rows, P = 1024, 4, 1 << 16
+    valid = (rng.rand(rows, P) > 0.1).astype(np.float32)
+    fg = ((rng.rand(rows, P) < 0.3) * valid).astype(np.float32)
+    # snap errors to bucket CENTERS: Mosaic's FMA rounding of
+    # (emax - e) * inv_w differs from XLA's by ~1 ULP, flipping pixels that
+    # sit exactly on a bucket edge to the adjacent bucket (harmless for the
+    # approximate loss, but it would make a raw-histogram diff flaky) — a
+    # half-bucket margin makes both paths bit-deterministic.
+    emax_v, emin_v = 4.0, 0.0
+    width = (emax_v - emin_v) / BINS
+    centers = emax_v - (rng.randint(0, BINS, (rows, P)) + 0.5) * width
+    errors = np.where(valid > 0, centers, -1e30).astype(np.float32)
+    emax = jnp.full((rows,), emax_v, jnp.float32)
+    inv_w = jnp.full((rows,), BINS / (emax_v - emin_v), jnp.float32)
+    e, f = jnp.asarray(errors), jnp.asarray(fg)
+    got = hk.hist2d_weighted_pallas(e, f, emax, inv_w, bins=BINS)
+    want = hk.hist2d_weighted_jnp(e, f, emax, inv_w, bins=BINS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=5e-2)
+    tab = jnp.asarray(rng.randn(rows, 2, BINS).astype(np.float32))
+    wg = hk.table_lookup_pallas(e, f, emax, inv_w, tab, bins=BINS)
+    ww = hk.table_lookup_jnp(e, f, emax, inv_w, tab, bins=BINS)
+    np.testing.assert_allclose(np.asarray(wg), np.asarray(ww),
+                               rtol=1e-5, atol=1e-5)
+    # end-to-end: hist loss within the analytic bound of the exact loss,
+    # boundary jitter included (random, non-snapped errors)
+    from ee_semantic_segmentation_tpu.ops.lovasz import _class_loss, _hist_class_loss
+
+    pred = rng.randn(P).astype(np.float32) * 3
+    v1 = (rng.rand(P) > 0.1).astype(np.float32)
+    f1 = ((rng.rand(P) < 0.3) * v1).astype(np.float32)
+    e1 = np.where(v1 > 0, np.abs(f1 - pred), -1e30).astype(np.float32)
+    le = float(_class_loss(jnp.asarray(e1), jnp.asarray(f1), jnp.asarray(v1)))
+    lh = float(_hist_class_loss(BINS, jnp.asarray(e1), jnp.asarray(f1), jnp.asarray(v1)))
+    ev1 = e1[v1 > 0]
+    assert abs(le - lh) <= (ev1.max() - ev1.min()) / BINS + 1e-5, (le, lh)
+
+
 def smoke_masked_engine():
     from ee_semantic_segmentation_tpu.ee.masked import make_masked_gated_apply
     from ee_semantic_segmentation_tpu.ee.sequential import EarlyExitRunner
@@ -165,7 +210,10 @@ def smoke_masked_engine():
 
 
 def main():
+    global ONLY
     full = "--full" in sys.argv
+    if "--only" in sys.argv:
+        ONLY = sys.argv[sys.argv.index("--only") + 1]
     backend = jax.default_backend()
     print(f"backend: {backend} ({jax.devices()[0].device_kind if jax.devices() else '?'})")
     if backend != "tpu":
@@ -176,6 +224,7 @@ def main():
     check("upsample_argmax", smoke_upsample_argmax)
     check("upsample_entropy_argmax", smoke_upsample_entropy_argmax)
     check("upsample_argmax_confusion", smoke_upsample_confusion)
+    check("hist_lovasz kernels", smoke_hist_lovasz)
     check("masked engine (xla + pallas heads)", smoke_masked_engine)
     if full:
         check("sort_pallas chunked 2^17", smoke_sort_chunked)
