@@ -39,7 +39,8 @@ def make_mesh_2d(devices=None, dp: int | None = None, sp: int = 1) -> Mesh:
     return Mesh(np.asarray(devices).reshape(dp, sp), ("data", "space"))
 
 
-def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None, **dist_kwargs):
     """Multi-host bring-up: ``jax.distributed.initialize`` over DCN, then a
     global 1-D mesh over every chip in the job.  Per-host input sharding is
     handled by DataLoader(shard_by_process=True).
@@ -48,7 +49,11 @@ def initialize_multihost(coordinator_address=None, num_processes=None, process_i
     caller *intends* multi-host — failures then raise instead of silently
     degrading to single-host (a typo'd coordinator address must not train a
     different experiment).  With no args and no cluster env this is a
-    single-host no-op."""
+    single-host no-op.
+
+    Extra ``dist_kwargs`` pass through to ``jax.distributed.initialize``
+    (e.g. ``heartbeat_timeout_seconds`` — the 100 s default can starve on
+    heavily oversubscribed hosts, see tools/multihost_smoke.py)."""
     import os
 
     explicit = any(
@@ -70,6 +75,7 @@ def initialize_multihost(coordinator_address=None, num_processes=None, process_i
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
                 process_id=process_id,
+                **dist_kwargs,
             )
         except RuntimeError as e:
             if "already initialized" not in str(e).lower():

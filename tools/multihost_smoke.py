@@ -50,7 +50,13 @@ def worker(pid: int, nprocs: int, port: int, devices_per_proc: int = 2):
     from ee_semantic_segmentation_tpu.parallel.mesh import initialize_multihost
 
     mesh = initialize_multihost(
-        coordinator_address=f"localhost:{port}", num_processes=nprocs, process_id=pid
+        coordinator_address=f"localhost:{port}", num_processes=nprocs, process_id=pid,
+        # Generous timeouts: this host has ONE CPU core, and under the full
+        # test suite 3+ python processes time-share it — the 100 s default
+        # heartbeat window can starve during XLA compiles (VERDICT r02 flake,
+        # still seen with the free-port fix alone).
+        initialization_timeout=600,
+        heartbeat_timeout_seconds=600,
     )
     assert jax.process_count() == nprocs
     assert mesh.devices.size == nprocs * devices_per_proc
@@ -135,22 +141,31 @@ def main():
             for i in range(args.nprocs)
         ]
         ok = True
+        outs = []
         for i, p in enumerate(procs):
             out, _ = p.communicate(timeout=900)
+            outs.append(out)
             tail = "\n".join(out.strip().splitlines()[-2:])
             print(f"--- worker {i} rc={p.returncode}\n{tail}")
             ok &= p.returncode == 0 and "OK global_loss=" in out
+        if not ok:  # full tails, or the root cause hides above the RPC noise
+            for i, out in enumerate(outs):
+                tail = "\n".join(out.strip().splitlines()[-25:])
+                print(f"=== worker {i} full tail ===\n{tail}")
         return ok
 
-    # One retry on a fresh port: the bring-up (not the assertion) is what
+    # Retries on fresh ports: the bring-up (not the assertion) is what
     # flakes under load — an OS-assigned port can be stolen between probe
-    # and bind, and Gloo connect can time out when the host is
-    # oversubscribed (observed under the full test suite with a TPU bench
-    # running; always passes standalone).
-    if not attempt():
-        print("multihost_smoke: bring-up failed, retrying once on a fresh port")
-        if not attempt():
-            sys.exit(1)
+    # and bind, and Gloo connect / coordination heartbeats can time out when
+    # the 1-core host is oversubscribed (observed under the full test suite;
+    # always passes standalone).
+    for attempt_i in range(3):
+        if attempt():
+            break
+        print(f"multihost_smoke: bring-up failed (attempt {attempt_i + 1}),"
+              " retrying on a fresh port")
+    else:
+        sys.exit(1)
     print(f"multihost_smoke: OK ({args.nprocs} processes)")
 
 
