@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--loss", choices=["ce", "lovasz", "both"], default="ce")
     ap.add_argument("--per_image", action="store_true")
+    ap.add_argument("--max_present", type=int, default=None,
+                    help="Lovász present-class compaction K (train CLI -K)")
+    ap.add_argument("--hist_bins", type=int, default=None,
+                    help="sort-free histogram Lovász bins (train CLI -G)")
+    ap.add_argument("--classes_per_image", type=int, default=None,
+                    help="draw labels from this many classes per image "
+                         "(real VOC images have 2-5); default all 21")
     ap.add_argument("--only", default=None,
                     help="comma-separated component filter")
     args = ap.parse_args()
@@ -60,14 +67,23 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     lovasz = LovaszSoftmax(classes="present", ignore=21, n_branches=n_br,
-                           per_image=args.per_image)
+                           per_image=args.per_image,
+                           max_present=args.max_present,
+                           hist_bins=args.hist_bins)
     xent = BrXEntropyLoss(ignore_index=21, b_reduction="sum", n_exits=n_br + 1)
     loss_fn = {"ce": xent, "lovasz": lovasz,
                "both": lambda o, l: lovasz(o, l) + 0.1 * xent(o, l)}[args.loss]
 
     rnp = np.random.RandomState(0)
     images = jnp.asarray(rnp.rand(N, S, S, 3), jnp.float32)
-    labels_np = rnp.randint(0, 21, (N, S, S)).astype(np.int32)
+    if args.classes_per_image:
+        # each image draws from its own small class palette (VOC-like)
+        labels_np = np.empty((N, S, S), np.int32)
+        for b in range(N):
+            palette = rnp.choice(21, args.classes_per_image, replace=False)
+            labels_np[b] = palette[rnp.randint(0, len(palette), (S, S))]
+    else:
+        labels_np = rnp.randint(0, 21, (N, S, S)).astype(np.int32)
     labels_np[rnp.rand(*labels_np.shape) < 0.03] = 21
     labels = jnp.asarray(labels_np)
     rng = jax.random.PRNGKey(1)
