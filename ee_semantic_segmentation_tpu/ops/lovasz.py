@@ -177,14 +177,15 @@ _class_loss.defvjp(_class_loss_fwd, _class_loss_bwd)
 #
 # The Lovász weight vector ``lovasz_grad`` telescopes over runs of equal
 # errors: sum_j e_(j) * (J_j - J_{j-1}) only changes J at rank boundaries, so
-# with errors bucketed into ``bins`` descending quantiles the whole sorted
-# computation reduces to four weighted bucket histograms + O(bins) math —
-# no sort at all.  Within a bucket the (arbitrary, tie-like) order is taken
-# as foreground-first, and every pixel of a group gets that group's MEAN
-# Jaccard step, which keeps the summed gradient exact per bucket.  The loss
-# error is bounded by (max_err - min_err) / bins (the J sequence is monotone
-# with total variation <= 1); measured agreement is far tighter (~1e-6 at
-# bins=1024 on uniform errors, tests/test_losses.py).  APPROXIMATE — opt-in
+# with errors bucketed into ``bins`` uniform-width descending error bins the
+# whole sorted computation reduces to four weighted bucket histograms +
+# O(bins) math — no sort at all.  Within a bucket the (arbitrary, tie-like)
+# order is taken as foreground-first, and every pixel of a group gets that
+# group's MEAN Jaccard step, which keeps the summed gradient exact per bucket.
+# The loss error is bounded by (max_err - min_err) / bins — the bound relies
+# on the uniform bin width (the J sequence is monotone with total variation
+# <= 1); measured agreement is far tighter (~1e-6 at
+# bins=1024 on uniform errors, tests/test_hist_lovasz.py).  APPROXIMATE — opt-in
 # via ``hist_bins`` (train CLI -G); the sorted path stays the reference-exact
 # default.  Replaces lovaszsoftmax.py:19-31's sort+cumsum with TPU-native
 # histogram MACs (ops/pallas/hist_kernel.py).

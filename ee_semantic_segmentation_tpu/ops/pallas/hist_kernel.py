@@ -2,7 +2,8 @@
 
 These power the sort-free "histogram Lovász" path (ops/lovasz.py): the Lovász
 extension's weight vector telescopes over runs of equal errors, so with errors
-bucketed into ``B`` quantiles the whole sorted computation collapses to
+bucketed into ``B`` uniform-width descending bins the whole sorted computation
+collapses to
 
   * four weighted histograms over the buckets
     (pixel count, foreground count, error sum, foreground error sum), and
@@ -137,6 +138,7 @@ def hist2d_weighted_pallas(
 ):
     """(rows, P) errors/fg + per-row (emax, inv_w) -> (rows, 4, bins) f32:
     [count, fg count, error sum, fg error sum] per descending bucket."""
+    _check_bins(bins)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     rows, P = errors.shape
@@ -176,6 +178,7 @@ def table_lookup_pallas(
 ):
     """Per-pixel gradient weights: (rows, P) errors/fg + (rows, 2, bins)
     [fg, bg] bucket tables -> (rows, P) f32 weights (0 on void pixels)."""
+    _check_bins(bins)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     rows, P = errors.shape
@@ -211,6 +214,7 @@ def table_lookup_pallas(
 # ------------------------------------------------------------- jnp fallback
 def hist2d_weighted_jnp(errors, fg, emax, inv_w, *, bins: int):
     """Scatter-add reference implementation (fast on CPU, exact everywhere)."""
+    _check_bins(bins)
     valid = (errors > _VALID_THRESH).astype(jnp.float32)
     t = jnp.clip((emax[:, None] - errors) * inv_w[:, None], 0.0, float(bins - 1))
     idx = t.astype(jnp.int32)
@@ -228,6 +232,7 @@ def hist2d_weighted_jnp(errors, fg, emax, inv_w, *, bins: int):
 
 
 def table_lookup_jnp(errors, fg, emax, inv_w, tables, *, bins: int):
+    _check_bins(bins)
     valid = (errors > _VALID_THRESH).astype(jnp.float32)
     t = jnp.clip((emax[:, None] - errors) * inv_w[:, None], 0.0, float(bins - 1))
     idx = t.astype(jnp.int32)
@@ -262,3 +267,13 @@ def hist_bins_ok(bins: int) -> bool:
     """Supported bucket counts: bins = B1 * 128 with B1 a power of two."""
     b1 = bins // _LANES
     return bins % _LANES == 0 and b1 >= 1 and (b1 & (b1 - 1)) == 0
+
+
+def _check_bins(bins: int) -> None:
+    """Direct kernel callers get a clear error, not silent b1_sub=0 garbage
+    (validation otherwise lives only in lovasz_softmax_flat; ADVICE r03)."""
+    if not hist_bins_ok(bins):
+        raise ValueError(
+            f"hist bins must be 128 * a power of two (got {bins}); "
+            "see hist_bins_ok()"
+        )

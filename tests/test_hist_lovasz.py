@@ -64,7 +64,9 @@ def test_all_tied_errors_exact():
     valid = np.ones(P, np.float32)
     errors = np.full(P, 0.5, np.float32)
     le = float(_class_loss(jnp.asarray(errors), jnp.asarray(fg), jnp.asarray(valid)))
-    lh = float(_hist_class_loss(64, jnp.asarray(errors), jnp.asarray(fg), jnp.asarray(valid)))
+    # bins=128 (the minimum hist_bins_ok value) so this case stays valid on
+    # the Pallas path too, not just the CPU jnp fallback (ADVICE r03)
+    lh = float(_hist_class_loss(128, jnp.asarray(errors), jnp.asarray(fg), jnp.asarray(valid)))
     assert abs(le - lh) < 1e-5
 
 
