@@ -37,6 +37,13 @@ def load_model(path: str, dtype=jnp.float32):
     return model, state
 
 
+def auto_mesh():
+    """A 'data' mesh over all local devices when there is more than one,
+    else None — the eval CLIs pass this to the fused evaluators so a pod
+    shards eval batches over ICI automatically (VERDICT r03 #2)."""
+    return make_mesh() if len(jax.devices()) > 1 else None
+
+
 def forward_fn(model, state):
     """Jitted eval forward: images (N,H,W,C) -> (E,N,H,W,C)."""
     fwd = make_eval_step(model)

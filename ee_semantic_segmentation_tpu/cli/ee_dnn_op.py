@@ -116,6 +116,7 @@ def run_masked(args, entropy: bool):
         pool=pool, pool_size=args.pool_size,
         pallas_head=getattr(args, "pallas_head", False),
         metric="ent" if entropy else metric, sim_ignore=sim_ignore,
+        mesh=common.auto_mesh(),
     )
     test_set = common.resolve_test_set(args.dataset, input_dim)
     loader = DataLoader(test_set, args.batch_size)

@@ -60,7 +60,7 @@ def main(argv=None):
         vals = br_evaluator_entropy_fused(
             model, state, n_exits, args.n_classes, loader,
             args.threshold, metric=args.metric, size=args.pool_size, skip=args.skip,
-            pallas_head=args.pallas_head,
+            pallas_head=args.pallas_head, mesh=common.auto_mesh(),
         )
         for k, v in vals.items():
             res[k].append(v)

@@ -69,7 +69,7 @@ def main(argv=None, image_level: bool = False):
                 model, state, n_exits, args.n_classes, loader,
                 args.metric, args.threshold,
                 ignore=(args.n_classes - 1,), skip=args.skip,
-                pallas_head=args.pallas_head,
+                pallas_head=args.pallas_head, mesh=common.auto_mesh(),
             )
         for k, v in vals.items():
             res[k].append(v)

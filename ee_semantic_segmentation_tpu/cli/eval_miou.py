@@ -53,12 +53,13 @@ def main(argv=None):
         n_exits = (args.n_branches or model.config.n_branches) + 1
         # fused forward+confusion: full-res logits never leave the XLA program
         step = None
+        mesh = common.auto_mesh()
         if args.pallas_head:
             from ee_semantic_segmentation_tpu.ee.batch_eval import make_pallas_miou_step_fn
 
-            step = make_pallas_miou_step_fn(model, args.n_classes)
+            step = make_pallas_miou_step_fn(model, args.n_classes, mesh=mesh)
         vals = mIoU_evaluator_fused(
-            model, state, n_exits, args.n_classes, loader, step=step
+            model, state, n_exits, args.n_classes, loader, step=step, mesh=mesh
         )
         for k, v in vals.items():
             res[k].append(v)

@@ -34,6 +34,62 @@ from ee_semantic_segmentation_tpu.ops.gating import (
 from ee_semantic_segmentation_tpu.ops.metrics import confusion_counts, mIoU
 
 
+def _committer(mesh):
+    """Returns ``commit(x)`` applying a 'data'-axis sharding constraint
+    (make_eval_step's rule: uneven batches replicate), identity w/o mesh."""
+    if mesh is None:
+        return lambda x: x
+    from ee_semantic_segmentation_tpu.parallel.mesh import (
+        data_sharding,
+        replicated_sharding,
+    )
+
+    ds, rs = data_sharding(mesh), replicated_sharding(mesh)
+    n = int(mesh.shape["data"])
+
+    def commit(x):
+        return jax.lax.with_sharding_constraint(x, ds if x.shape[0] % n == 0 else rs)
+
+    return commit
+
+
+def _mesh_step(body, mesh):
+    """shard_map a ``body(images, labels, count) -> tree of row-summed
+    counts`` over the 'data' axis.
+
+    Each device runs the *whole* fused program (forward + gate + confusion,
+    including any Pallas eval-head kernels, which XLA's auto-partitioner
+    would otherwise force to replicate) on its batch shard; the global
+    ``count`` valid-row bound is rebased per shard via ``axis_index``, and
+    one ``psum`` yields replicated global counts — bit-identical to the
+    single-device result because every summed quantity is an
+    integer-valued count (exact in f32 well past these magnitudes).
+    Uneven batches fall back to the single-device body (correct, unsharded).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(mesh.shape["data"])
+
+    def local(images, labels, count):
+        local_n = images.shape[0]
+        offset = jax.lax.axis_index("data") * local_n
+        local_count = jnp.clip(count - offset, 0, local_n)
+        out = body(images, labels, local_count)
+        return jax.tree.map(lambda t: jax.lax.psum(t, "data"), out)
+
+    def step(images, labels, count):
+        if images.shape[0] % n_dev:
+            return body(images, labels, count)
+        # check_vma=False: the body may contain pallas_call, whose out_shapes
+        # carry no vma annotation (and psum makes outputs replicated anyway)
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(P("data"), P("data"), P()),
+            out_specs=P(), check_vma=False,
+        )(images, labels, jnp.asarray(count, jnp.int32))
+
+    return jax.jit(step)
+
+
 def _per_exit_confusion_impl(stacked_logits, labels, num_classes: int, sample_mask=None):
     """(E, N, H, W, C) logits -> (E, 3, C) summed confusion counts; optional
     (N,) sample mask zeroes padded rows."""
@@ -53,7 +109,7 @@ def _per_exit_confusion(stacked_logits, labels, num_classes: int):
     return _per_exit_confusion_impl(stacked_logits, labels, num_classes)
 
 
-def make_fused_miou_step_fn(model, num_classes: int):
+def make_fused_miou_step_fn(model, num_classes: int, mesh=None):
     """ONE jitted program: multi-exit forward + per-exit confusion counts,
     parameterized by variables (for callers whose params change per epoch).
 
@@ -62,10 +118,16 @@ def make_fused_miou_step_fn(model, num_classes: int):
     program's output is just (E, 3, C), so full-res logits are never written
     out as a jit result.  ``count`` masks padded trailing rows of the final
     batch.
+
+    ``mesh``: optional 'data' mesh — the batch is committed to the data
+    axis inside the program (GSPMD shards the forward and all-reduces the
+    confusion sums over ICI); uneven batches replicate (VERDICT r03 #2).
     """
+    commit = _committer(mesh)
 
     @jax.jit
     def step(params, batch_stats, images, labels, count):
+        images, labels = commit(images), commit(labels)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
@@ -75,20 +137,26 @@ def make_fused_miou_step_fn(model, num_classes: int):
     return step
 
 
-def make_pallas_miou_step_fn(model, num_classes: int, interpret: bool | None = None):
+def make_pallas_miou_step_fn(model, num_classes: int, interpret: bool | None = None,
+                             mesh=None):
     """make_fused_miou_step_fn with the Pallas upsample+argmax eval head.
 
     Same program shape (forward + per-exit confusion -> (E, 3, C)), but each
     exit's bilinear upsample + argmax + confusion counting is ONE fused VMEM
     kernel (ops/pallas/upsample_argmax.upsample_argmax_confusion) — neither
     the upsampled float32 logits nor the (N, H, W) int32 argmax maps touch
-    HBM; only the (3, C) counts leave each exit's kernel (VERDICT r02 #8)."""
+    HBM; only the (3, C) counts leave each exit's kernel (VERDICT r02 #8).
+
+    ``mesh``: optional 'data' mesh — the whole step (forward + Pallas head)
+    runs under ``shard_map`` per batch shard (a Pallas call has no GSPMD
+    partitioning rule, so constraint-based sharding would gather the batch
+    onto every device) and one psum merges the counts (VERDICT r03 #2).
+    """
     from ee_semantic_segmentation_tpu.ops.pallas.upsample_argmax import (
         upsample_argmax_confusion,
     )
 
-    @jax.jit
-    def step(params, batch_stats, images, labels, count):
+    def body(params, batch_stats, images, labels, count):
         out_hw = (images.shape[1], images.shape[2])
         lowres = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False,
@@ -99,6 +167,31 @@ def make_pallas_miou_step_fn(model, num_classes: int, interpret: bool | None = N
                                       interpret=interpret)
             for l in lowres
         ])
+
+    if mesh is None:
+        return jax.jit(body)
+
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = int(mesh.shape["data"])
+
+    def local(params, batch_stats, images, labels, count):
+        local_n = images.shape[0]
+        offset = jax.lax.axis_index("data") * local_n
+        local_count = jnp.clip(count - offset, 0, local_n)
+        return jax.lax.psum(
+            body(params, batch_stats, images, labels, local_count), "data"
+        )
+
+    @jax.jit
+    def step(params, batch_stats, images, labels, count):
+        if images.shape[0] % n_dev:
+            return body(params, batch_stats, images, labels, count)
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P()),
+            out_specs=P(), check_vma=False,
+        )(params, batch_stats, images, labels, jnp.asarray(count, jnp.int32))
 
     return step
 
@@ -114,13 +207,14 @@ def make_fused_miou_step(model, params, batch_stats, num_classes: int):
 
 
 def mIoU_evaluator_fused(model, state, n_exits, n_classes, loader, *,
-                         empty_class="nan", step=None):
+                         empty_class="nan", step=None, mesh=None):
     """mIoU_evaluator over the fused forward+confusion program.
 
     ``step``: optionally a prebuilt :func:`make_fused_miou_step_fn` result —
     pass it when evaluating repeatedly with changing state (per-epoch
-    validation) so the program compiles once."""
-    step = step or make_fused_miou_step_fn(model, n_classes)
+    validation) so the program compiles once.  ``mesh`` (ignored when
+    ``step`` is given) shards each batch over the 'data' axis."""
+    step = step or make_fused_miou_step_fn(model, n_classes, mesh=mesh)
     accs = [mIoU(n_classes, empty_class=empty_class) for _ in range(n_exits)]
     for batch in loader:
         count = int(batch.get("count", len(batch["image"])))
@@ -248,7 +342,7 @@ def br_evaluator_entropy(
 
 def br_evaluator_entropy_fused(
     model, state, n_exits, n_classes, loader, tau, *, metric="ent", size=1,
-    skip=0, pallas_head: bool = False,
+    skip=0, pallas_head: bool = False, mesh=None,
 ):
     """br_evaluator_entropy with forward + gating + bucketed confusion in ONE
     jitted program — stacked logits never leave XLA.
@@ -256,7 +350,10 @@ def br_evaluator_entropy_fused(
     ``pallas_head=True`` (entropy gate, no pooling only) computes each
     exit's label map AND gate entropy with the fused Pallas
     upsample+softmax+entropy+argmax kernel from the low-res logits — the
-    upsampled float32 logits/probabilities never exist in HBM."""
+    upsampled float32 logits/probabilities never exist in HBM.
+
+    ``mesh``: optional 'data' mesh — the whole step runs per batch shard
+    under shard_map with one psum of the count tensors (VERDICT r03 #2)."""
     n_branches = n_exits - 1
     accs = [mIoU(n_classes) for _ in range(n_exits + 1)]
     counts = np.zeros(n_exits + 1, np.int64)
@@ -268,8 +365,7 @@ def br_evaluator_entropy_fused(
             upsample_entropy_argmax,
         )
 
-    @jax.jit
-    def step(images, labels, count):
+    def body(images, labels, count):
         out_hw = (images.shape[1], images.shape[2])
         if use_pallas:
             lowres = model.apply(
@@ -301,6 +397,8 @@ def br_evaluator_entropy_fused(
         )
         return bucketed, chosen_conf, bucket_counts
 
+    step = _mesh_step(body, mesh) if mesh is not None else jax.jit(body)
+
     for batch in loader:
         count = int(batch.get("count", len(batch["image"])))
         bucketed, chosen_conf, bucket_counts = step(
@@ -318,7 +416,7 @@ def br_evaluator_entropy_fused(
 
 def br_evaluator_similarity_fused(
     model, state, n_exits, n_classes, loader, metric, tau, *, ignore=(), skip=0,
-    pallas_head: bool = False,
+    pallas_head: bool = False, mesh=None,
 ):
     """br_evaluator_similarity with forward + gating + bucketed confusion in
     ONE jitted program (confusion-matrix accumulators only; the img_mIoU
@@ -326,7 +424,10 @@ def br_evaluator_similarity_fused(
 
     The similarity gates consume only argmaxed label maps, so
     ``pallas_head=True`` computes each exit's map with the fused Pallas
-    upsample+argmax kernel from low-res logits."""
+    upsample+argmax kernel from low-res logits.
+
+    ``mesh``: optional 'data' mesh — shard_map per batch shard + psum
+    (gates are per-image, so sharding the batch is exact; VERDICT r03 #2)."""
     n_branches = n_exits - 1
     accs = [mIoU(n_classes) for _ in range(n_exits + 1)]
     counts = np.zeros(n_exits + 1, np.int64)
@@ -337,8 +438,7 @@ def br_evaluator_similarity_fused(
             upsample_argmax,
         )
 
-    @jax.jit
-    def step(images, labels, count):
+    def body(images, labels, count):
         if pallas_head:
             lowres = model.apply(
                 {"params": params, "batch_stats": batch_stats}, images,
@@ -373,6 +473,8 @@ def br_evaluator_similarity_fused(
             axis=1,
         )
         return bucketed, chosen_conf, bucket_counts
+
+    step = _mesh_step(body, mesh) if mesh is not None else jax.jit(body)
 
     for batch in loader:
         count = int(batch.get("count", len(batch["image"])))
