@@ -57,7 +57,9 @@ def main(argv=None):
         if args.pallas_head:
             from ee_semantic_segmentation_tpu.ee.batch_eval import make_pallas_miou_step_fn
 
-            step = make_pallas_miou_step_fn(model, args.n_classes, mesh=mesh)
+            # the prebuilt step fixes its mesh at build time; the evaluator
+            # rejects step+mesh together (batch_eval.mIoU_evaluator_fused)
+            step, mesh = make_pallas_miou_step_fn(model, args.n_classes, mesh=mesh), None
         vals = mIoU_evaluator_fused(
             model, state, n_exits, args.n_classes, loader, step=step, mesh=mesh
         )

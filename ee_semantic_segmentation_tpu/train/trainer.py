@@ -50,6 +50,7 @@ from ee_semantic_segmentation_tpu.parallel import (
     make_train_step,
     shard_batch,
 )
+from ee_semantic_segmentation_tpu.parallel.mesh import replicated_sharding
 from ee_semantic_segmentation_tpu.train import checkpoint as ckpt
 from ee_semantic_segmentation_tpu.train.optim import branchy_lr_multipliers, sgd_momentum
 from ee_semantic_segmentation_tpu.train.schedulers import PolynomialLR, ReduceLROnPlateau
@@ -331,6 +332,10 @@ def train_deepv3(model, num_epochs, kwargs):
 
     if saved:
         state, _ = ckpt.load_checkpoint(saved, state)
+        # Orbax restores with the FILE's recorded sharding (possibly a single
+        # device if the checkpoint predates this mesh) — re-replicate so the
+        # mesh-sharded final eval can constrain against it (VERDICT r04 #1)
+        state = jax.device_put(state, replicated_sharding(mesh))
     else:
         # no epoch ever improved the tracked metric: keep the final state so
         # downstream evaluation still has a checkpoint to load
@@ -403,6 +408,8 @@ def eval_deepv3(kwargs):
         state = create_train_state(model, tx, rng, sample, mesh=mesh)
         if fine_tune:
             state, _ = ckpt.load_checkpoint(fine_tune, state)
+            # file sharding may be single-device; see the note in train_deepv3
+            state = jax.device_put(state, replicated_sharding(mesh))
         saved = ckpt.save_checkpoint(saveat, name, state, model.config)
 
     # final test evaluation (deepv3_funcs.py:264-277) — fused + mesh-sharded:
