@@ -2,6 +2,7 @@
 
 tpu-smoke:       ## every wired Pallas kernel + masked engine on the real chip vs XLA (<2 min warm)
 	python tools/tpu_smoke.py
+	python tools/mosaic_envelope_probe.py
 
 tpu-smoke-full:  ## + the chunked (>2^16) sort
 	python tools/tpu_smoke.py --full
@@ -35,8 +36,15 @@ dryrun:          ## multi-chip sharding dry run on 8 virtual CPU devices
 	  "import jax; jax.config.update('jax_platforms','cpu'); \
 	   import __graft_entry__ as G; G.dryrun_multichip(8)"
 
-multihost:       ## real 2-process jax.distributed train-step smoke (Gloo)
+multihost:       ## real 2-process jax.distributed smoke: DP step + composed dp x sp x accum x mesh eval (Gloo)
 	python tools/multihost_smoke.py --nprocs 2
+
+real-data:       ## turnkey real-VOC day: validate -> short train -> all eval CLIs -> 0.2-pt parity checklist
+	@test -n "$(DATA)" || (echo "usage: make real-data DATA=/path/containing/VOCdevkit" && exit 1)
+	python tools/real_data_drill.py --data $(DATA)
+
+convergence:     ## torch-reference vs ours: trained-checkpoint migration + from-scratch mIoU parity
+	python tools/convergence_parity.py --loss ce --epochs 12
 
 lint:            ## bytecode-compile everything (fast sanity)
 	python -m compileall -q ee_semantic_segmentation_tpu tools tests *.py

@@ -151,7 +151,82 @@ def worker(pid: int, nprocs: int, portfile: str, devices_per_proc: int = 2):
     assert np.all(np.asarray(losses) == loss), (
         f"loss differs across processes: {losses}"
     )
-    print(f"worker {pid}: OK global_loss={loss:.6f}", flush=True)
+
+    # ---- composed features across the REAL process boundary (VERDICT r04
+    # #4/#6): dp x sp mesh x gradient accumulation x mesh-sharded fused
+    # eval — what dryrun_multichip proves single-process, proven here over
+    # 2 Gloo processes.
+    from jax.sharding import PartitionSpec as P
+
+    from ee_semantic_segmentation_tpu.ee.batch_eval import make_fused_miou_step_fn
+    from ee_semantic_segmentation_tpu.parallel.mesh import (
+        batch_space_sharding,
+        make_mesh_2d,
+        replicated_sharding,
+    )
+
+    # per-process input shards must be DISJOINT: fingerprint local rows and
+    # allgather — any collision means two processes read the same image
+    row_ids = np.asarray(
+        [np.abs(r).sum(dtype=np.float64) for r in np.asarray(batch["image"])],
+        np.float64,
+    )
+    all_ids = np.asarray(multihost_utils.process_allgather(row_ids)).ravel()
+    assert len(set(all_ids.tolist())) == nprocs * local_batch, (
+        f"per-process shards overlap: {all_ids}"
+    )
+
+    mesh2 = make_mesh_2d(dp=nprocs, sp=devices_per_proc)
+    # fresh key: the first DP step DONATED state, and device_put had aliased
+    # `rng` into it — reusing it here would Execute() a deleted buffer
+    state2 = create_train_state(
+        model, tx, jax.random.PRNGKey(1), jnp.zeros((global_batch, 32, 32, 3)),
+        mesh=mesh2,
+    )
+    step2 = make_train_step(model, loss_obj, tx, mesh=mesh2, accum_steps=2)
+    sp2 = batch_space_sharding(mesh2).spec  # ('data', 'space'): N x H sharded
+    g2_images = multihost_utils.host_local_array_to_global_array(
+        np.asarray(batch["image"]), mesh2, sp2
+    )
+    g2_labels = multihost_utils.host_local_array_to_global_array(
+        np.asarray(batch["label"]), mesh2, sp2
+    )
+    state2, m2 = step2(state2, g2_images, g2_labels, jnp.float32(0.01))
+    loss2 = float(m2["loss"])
+    assert np.isfinite(loss2), loss2
+    l2 = multihost_utils.process_allgather(jnp.float32(loss2))
+    assert np.all(np.asarray(l2) == loss2), (
+        f"dp x sp + accum loss differs across processes: {l2}"
+    )
+
+    # mesh-sharded fused per-exit confusion on the post-step state, checked
+    # EXACTLY against an unsharded single-process eval of the same global
+    # batch (counts are order-invariant integer sums, so the full batch can
+    # be rebuilt host-side from the shared global permutation)
+    ev = make_fused_miou_step_fn(model, 21, mesh=mesh2)
+    conf = ev(state2.params, state2.batch_stats, g2_images, g2_labels,
+              global_batch)
+    conf = np.asarray(
+        jax.jit(lambda x: x, out_shardings=replicated_sharding(mesh2))(conf)
+    )
+
+    full = next(iter(DataLoader(ds, batch_size=global_batch, shuffle=True,
+                                seed=7)))
+    params_h = jax.tree.map(np.asarray, state2.params)
+    stats_h = jax.tree.map(np.asarray, state2.batch_stats)
+    ref_step = make_fused_miou_step_fn(model, 21)
+    ref_conf = np.asarray(ref_step(
+        params_h, stats_h, jnp.asarray(full["image"]),
+        jnp.asarray(full["label"]), global_batch))
+    assert np.array_equal(conf, ref_conf), (
+        "mesh-sharded fused eval != single-process eval:\n"
+        f"{conf}\nvs\n{ref_conf}"
+    )
+
+    print(
+        f"worker {pid}: OK global_loss={loss:.6f} composed_loss={loss2:.6f}",
+        flush=True,
+    )
 
 
 def main():
