@@ -20,7 +20,13 @@ class SyntheticSegDataset:
         self.void = void
         self.void_frac = void_frac
         self.seed = seed
-        rng = np.random.RandomState(seed)
+        # canonical per-class palette, INDEPENDENT of the split seed: the
+        # seed picks which voronoi layouts a split holds, but the class ->
+        # color mapping is the dataset's "semantics" and must be shared
+        # across train/val/test — otherwise generalization is impossible by
+        # construction and convergence-level comparisons (convergence_parity,
+        # hist_lovasz_convergence) measure pure noise
+        rng = np.random.RandomState(12345 + num_classes)
         self._colors = rng.rand(num_classes, 3).astype(np.float32)
 
     def __len__(self):
