@@ -63,6 +63,9 @@ def build_parser():
                         "batch_size/accum_steps — lets full-res (2048x1024) "
                         "training run effective batches beyond the b2 "
                         "single-chip envelope")
+    p.add_argument("--seed", type=int, default=0,
+                   help="init RNG seed (params/dropout); lets experiments "
+                        "measure run-to-run variance explicitly")
     p.add_argument("--sp", type=int, default=1,
                    help="spatial partitioning: shard image height over an "
                         "sp-way 'space' mesh axis (devices = dp*sp; GSPMD "
@@ -132,6 +135,7 @@ def make_dts_info(args, loss):
         "weighted_lr": False,
         "branch_params": None,
         "accum_steps": getattr(args, "accum_steps", 1),
+        "seed": getattr(args, "seed", 0),
     }
     if getattr(args, "sp", 1) > 1:
         from ee_semantic_segmentation_tpu.parallel import make_mesh_2d
