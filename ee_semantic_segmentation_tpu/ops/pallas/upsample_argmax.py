@@ -65,24 +65,34 @@ def _scoped_bytes(TH: int, H: int, W: int, h: int, w: int, C: int,
     return int((dbuf + n_temps * TH * W) * 4 * 1.25)
 
 
-_MAX_PIXELS = 1 << 19  # largest on-chip-verified output plane (512x1024)
+# Largest on-chip-verified output planes, PER KERNEL (round-5 probe,
+# tools/mosaic_envelope_probe.py — `make tpu-smoke` fails loudly if these go
+# stale for the installed jax/Mosaic):
+# * maps-only kernels (argmax, entropy+argmax): verified windowed at
+#   1024x1024 with an overflow batch (N=5: full staging would need 20 MB >
+#   the 16 MB scoped limit, yet it compiles and matches exactly — and beats
+#   the tiled-XLA fallback 34.3 vs 37.6 ms) — envelope 2^20;
+# * the confusion kernel (extra (TH, W) label operand + SMEM accumulators):
+#   still dies at 1024x1024 (tpu_compile_helper crash) — envelope 2^19.
+# At 1024x2048 (2^21) every kernel dies: Mosaic's scoped-vmem allocation
+# stops tracking the row tiling and stages the FULL (N, H, W) int32 arrays
+# (18.1-44.5 MB measured at N=2, INDEPENDENT of TH from 16 to 256).
+_MAX_PIXELS = 1 << 19       # confusion kernel (the conservative default)
+_MAX_PIXELS_MAPS = 1 << 20  # argmax / entropy+argmax kernels
 
 
 def _tile_rows(H: int, W: int, h: int, w: int, C: int,
-               n_temps: int = 4) -> int | None:
+               n_temps: int = 4, max_pixels: int | None = None) -> int | None:
     """Largest row-tile dividing H whose estimated scoped VMEM fits; None
     when no tiling fits — callers fall back to the jnp path instead of
     risking a Mosaic scoped-vmem OOM.
 
-    Hard pixel gate: at 1024x2048 Mosaic's scoped-vmem allocation stops
-    tracking the row tiling entirely — measured scoped usage matches the
-    FULL (N, H, W) int32 output (+ labels for the confusion kernel) being
-    staged in VMEM (18.1M for argmax, 44.5M for confusion at N=2,
-    INDEPENDENT of TH from 16 to 256), so no tile size can fit.  Shapes
-    up to 512x1024 are measured well-windowed (and faster than XLA);
-    beyond the verified envelope the jnp fallback keeps eval correct.
+    Hard pixel gate (``max_pixels``, default the conservative
+    ``_MAX_PIXELS``): beyond the per-kernel verified envelope (see above)
+    Mosaic full-stages the output and no tile size can fit; the jnp/tiled
+    fallbacks keep eval correct.
     """
-    if H * W > _MAX_PIXELS:
+    if H * W > (max_pixels or _MAX_PIXELS):
         return None
     for th in (256, 128, 64, 32, 16, 8):
         if H % th == 0 and _scoped_bytes(th, H, W, h, w, C, n_temps) <= _VMEM_LIMIT:
@@ -131,7 +141,7 @@ def upsample_argmax(logits, out_hw: tuple[int, int], interpret: bool | None = No
     H, W = out_hw
     if (H, W) == (h, w):  # no resize needed
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    TH = _tile_rows(H, W, h, w, C)
+    TH = _tile_rows(H, W, h, w, C, max_pixels=_MAX_PIXELS_MAPS)
     if TH is None:  # above the Pallas envelope: tiled XLA, then jnp
         tiled = _argmax_tiled_xla(logits, out_hw)
         if tiled is not None:
@@ -287,7 +297,7 @@ def upsample_entropy_argmax(logits, out_hw: tuple[int, int],
         raise ValueError(
             f"normalized entropy needs n_classes >= 2 (base-C log), got C={C}")
     H, W = out_hw
-    TH = _tile_rows(H, W, h, w, C, n_temps=6)
+    TH = _tile_rows(H, W, h, w, C, n_temps=6, max_pixels=_MAX_PIXELS_MAPS)
     if TH is None:  # above the Pallas envelope: tiled XLA, then jnp
         if (H, W) != (h, w):
             tiled = _entropy_tiled_xla(logits, out_hw)
